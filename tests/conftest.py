@@ -1,0 +1,27 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding
+tests run without TPU hardware, keep f32 (matching device behavior)."""
+
+import os
+
+# Force CPU even when the image boots a TPU platform plugin (axon): the
+# sitecustomize-registered plugin rewrites jax_platforms to "axon,cpu"
+# at interpreter start, and initializing it claims the tunneled TPU —
+# which blocks for minutes when another process holds the claim.  Tests
+# must be fast and deterministic, so pin the config back to cpu BEFORE
+# the first op triggers backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the sandbox host has one core, so cold
+# XLA compiles dominate test time; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

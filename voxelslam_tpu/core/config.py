@@ -1,0 +1,152 @@
+"""Configuration system.
+
+Mirrors the reference's ROS-param groups General/Odometry/LocalBA/
+Loop/GBA (read in VoxelSLAM/src/voxelslam.cpp:762-833, 1812-1823,
+2487-2492) as frozen dataclasses, plus a `Shapes` group that fixes the
+static padded sizes every jitted program compiles against (points per
+scan, IMU samples per scan, hash capacity, ...) — the TPU equivalent
+of the reference's dynamically sized containers.
+
+YAML files in the reference layout load directly (`load_yaml`), so the
+six per-sensor configs (config/{avia,avia_fly,mid360,velodyne,ouster,
+hesai}.yaml) carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+@dataclass(frozen=True)
+class GeneralCfg:
+    lid_topic: str = "/livox/lidar"
+    imu_topic: str = "/livox/imu"
+    save_path: str = ""
+    previous_map: str = ""
+    bagname: str = "session0"
+    lidar_type: int = 0  # LIVOX=0 VELODYNE OUSTER HESAI ROBOSENSE TARTANAIR
+    blind: float = 0.5  # min range cull (meters, squared at use site)
+    point_filter_num: int = 3  # keep every Nth point
+    extrinsic_tran: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    extrinsic_rota: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+    is_save_map: int = 0
+
+
+@dataclass(frozen=True)
+class OdometryCfg:
+    cov_gyr: float = 0.1
+    cov_acc: float = 1.0
+    rdw_gyr: float = 1e-4
+    rdw_acc: float = 1e-4
+    down_size: float = 0.1  # odometry downsample leaf (m)
+    dept_err: float = 0.02  # per-point range noise (m)
+    beam_err: float = 0.05  # per-point bearing noise (deg)
+    voxel_size: float = 1.0  # root voxel size (m)
+    min_eigen_value: float = 0.0025  # plane λ0 gate
+    degrade_bound: int = 10  # consecutive-degenerate-scan reset bound
+    point_notime: int = 0  # 1: points carry no per-point time
+
+
+@dataclass(frozen=True)
+class LocalBACfg:
+    win_size: int = 10
+    max_layer: int = 2
+    cov_gyr: float = 0.01
+    cov_acc: float = 1.0
+    rdw_gyr: float = 1e-4
+    rdw_acc: float = 1e-4
+    min_ba_point: int = 20
+    plane_eigen_value_thre: Tuple[float, ...] = (4.0, 4.0, 4.0, 4.0)
+    imu_coef: float = 1e-4
+    thread_num: int = 5  # reference CPU thread pool; unused on TPU
+
+
+@dataclass(frozen=True)
+class LoopCfg:
+    jud_default: float = 0.5
+    icp_eigval: float = 10.0
+    ratio_drift: float = 0.05
+    curr_halt: int = 10
+    prev_halt: int = 10
+    acsize: int = 2
+    mgsize: int = 2
+    is_high_fly: int = 0
+
+
+@dataclass(frozen=True)
+class GBACfg:
+    voxel_size: float = 2.0
+    min_eigen_value: float = 0.1
+    eigen_value_array: Tuple[float, ...] = (4.0, 4.0, 4.0, 4.0)
+    total_max_iter: int = 6
+
+
+@dataclass(frozen=True)
+class Shapes:
+    """Static padded sizes for jitted programs (TPU-only group)."""
+
+    max_raw_points: int = 32768  # raw points per scan after decimation
+    max_points: int = 4096  # downsampled points per scan (ESIKF/map)
+    max_imu: int = 64  # IMU samples per scan interval
+    hash_capacity: int = 1 << 17  # voxel map slots (power of two)
+    max_probe: int = 16  # open-addressing probe bound
+    max_ba_voxels: int = 4096  # plane voxels harvested per local BA
+    map_max_points: int = 100  # fixed-point cap per voxel (reference
+    #                            voxel_map.hpp:86 max_points)
+    min_point: Tuple[int, ...] = (5, 5, 5, 5)  # per-layer min N
+    #                            (reference voxelslam.cpp:812)
+
+
+@dataclass(frozen=True)
+class Config:
+    general: GeneralCfg = field(default_factory=GeneralCfg)
+    odometry: OdometryCfg = field(default_factory=OdometryCfg)
+    local_ba: LocalBACfg = field(default_factory=LocalBACfg)
+    loop: LoopCfg = field(default_factory=LoopCfg)
+    gba: GBACfg = field(default_factory=GBACfg)
+    shapes: Shapes = field(default_factory=Shapes)
+
+    @property
+    def plane_thre_inv(self) -> Tuple[float, ...]:
+        """Reference inverts the thresholds at load (voxelslam.cpp:825):
+        plane gate is λ0/λ2 < 1/thre."""
+        return tuple(1.0 / t for t in self.local_ba.plane_eigen_value_thre)
+
+
+_GROUP_MAP = {
+    "General": ("general", GeneralCfg),
+    "Odometry": ("odometry", OdometryCfg),
+    "LocalBA": ("local_ba", LocalBACfg),
+    "Loop": ("loop", LoopCfg),
+    "GBA": ("gba", GBACfg),
+    "Shapes": ("shapes", Shapes),
+}
+
+_KEY_RENAMES = {"isHighFly": "is_high_fly"}
+
+
+def load_yaml(path: str, base: Config | None = None) -> Config:
+    """Load a reference-layout YAML config over (optional) base config."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = base or Config()
+    updates = {}
+    for group_name, content in raw.items():
+        if group_name not in _GROUP_MAP or not isinstance(content, dict):
+            continue
+        attr, cls = _GROUP_MAP[group_name]
+        current = getattr(cfg, attr)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kv = {}
+        for k, val in content.items():
+            k = _KEY_RENAMES.get(k, k)
+            if k in fields:
+                if isinstance(val, list):
+                    val = tuple(val)
+                kv[k] = val
+        updates[attr] = dataclasses.replace(current, **kv)
+    return dataclasses.replace(cfg, **updates)

@@ -1,0 +1,265 @@
+"""Synthetic LiDAR-inertial world generator (host-side, numpy).
+
+The reference validates end-to-end by rosbag replay (SURVEY.md §4); we
+need a self-contained oracle instead: an analytic trajectory through a
+world of bounded planes, with exact IMU measurements derived from the
+trajectory's derivatives and LiDAR points ray-cast at their true
+per-point acquisition times (so deskew, gravity alignment, bias
+estimation and BA all have a known ground truth).
+
+Everything here is numpy on the host — it only produces test fixtures
+and benchmark inputs, never device code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List
+
+import numpy as np
+
+
+@dataclass
+class PlaneWorld:
+    """Bounded rectangles: center (M,3), normal (M,3) unit, two in-plane
+    half-extent vectors u,v (M,3) (not unit; lengths = half sizes)."""
+
+    center: np.ndarray
+    normal: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+
+
+def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0) -> PlaneWorld:
+    """A closed room with a few random boxes inside — enough plane
+    diversity that point-to-plane odometry is fully constrained."""
+    rng = np.random.default_rng(seed)
+    sx, sy, sz = [s / 2 for s in size]
+    C, N, U, V = [], [], [], []
+
+    def rect(c, n, u, v):
+        C.append(c); N.append(np.asarray(n, float)); U.append(np.asarray(u, float)); V.append(np.asarray(v, float))
+
+    # floor/ceiling/walls (normals point inward)
+    rect([0, 0, -sz], [0, 0, 1], [sx, 0, 0], [0, sy, 0])
+    rect([0, 0, sz], [0, 0, -1], [sx, 0, 0], [0, sy, 0])
+    rect([-sx, 0, 0], [1, 0, 0], [0, sy, 0], [0, 0, sz])
+    rect([sx, 0, 0], [-1, 0, 0], [0, sy, 0], [0, 0, sz])
+    rect([0, -sy, 0], [0, 1, 0], [sx, 0, 0], [0, 0, sz])
+    rect([0, sy, 0], [0, -1, 0], [sx, 0, 0], [0, 0, sz])
+
+    for _ in range(n_boxes):
+        c = rng.uniform([-sx + 2, -sy + 2, -sz + 0.5], [sx - 2, sy - 2, 0])
+        h = rng.uniform(0.3, 1.2, 3)
+        for axis in range(3):
+            for sgn in (-1, 1):
+                n = np.zeros(3); n[axis] = sgn
+                cc = c + n * h[axis]
+                ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+                u = np.zeros(3); u[ax1] = h[ax1]
+                v = np.zeros(3); v[ax2] = h[ax2]
+                rect(cc, n, u, v)
+
+    return PlaneWorld(np.array(C), np.array(N), np.array(U), np.array(V))
+
+
+# ---------------------------------------------------------------- trajectory
+
+def _so3_exp(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+@dataclass
+class Trajectory:
+    """Analytic trajectory: p(t) sinusoidal, yaw(t) sinusoidal.
+    Derivatives are exact so IMU synthesis is noise-free by default."""
+
+    amp: np.ndarray = field(default_factory=lambda: np.array([2.0, 1.5, 0.3]))
+    freq: np.ndarray = field(default_factory=lambda: np.array([0.11, 0.17, 0.23]))
+    yaw_amp: float = 0.8
+    yaw_freq: float = 0.13
+    pitch_amp: float = 0.15
+    pitch_freq: float = 0.19
+
+    def pos(self, t):
+        w = 2 * np.pi * self.freq
+        return self.amp * np.sin(w * t)
+
+    def vel(self, t):
+        w = 2 * np.pi * self.freq
+        return self.amp * w * np.cos(w * t)
+
+    def acc(self, t):
+        w = 2 * np.pi * self.freq
+        return -self.amp * w * w * np.sin(w * t)
+
+    def _angles(self, t):
+        wy = 2 * np.pi * self.yaw_freq
+        wp = 2 * np.pi * self.pitch_freq
+        yaw = self.yaw_amp * np.sin(wy * t)
+        pitch = self.pitch_amp * np.sin(wp * t)
+        dyaw = self.yaw_amp * wy * np.cos(wy * t)
+        dpitch = self.pitch_amp * wp * np.cos(wp * t)
+        return yaw, pitch, dyaw, dpitch
+
+    def rot(self, t):
+        yaw, pitch, _, _ = self._angles(t)
+        Rz = _so3_exp(np.array([0, 0, yaw]))
+        Ry = _so3_exp(np.array([0, pitch, 0]))
+        return Rz @ Ry
+
+    def omega_body(self, t):
+        """Body angular velocity (exact for the Rz(yaw)Ry(pitch) chain)."""
+        yaw, pitch, dyaw, dpitch = self._angles(t)
+        Ry = _so3_exp(np.array([0, pitch, 0]))
+        # w_world = dyaw * ez ; then pitch about the rotated y axis.
+        # w_body = Ryᵀ (Rzᵀ (dyaw ez)) + dpitch * ey
+        w_b = Ry.T @ np.array([0, 0, dyaw]) + np.array([0, dpitch, 0])
+        return w_b
+
+
+# ---------------------------------------------------------------- raycast
+
+def raycast(world: PlaneWorld, origin: np.ndarray, dirs: np.ndarray,
+            max_range: float = 60.0, min_range: float = 0.3) -> np.ndarray:
+    """Nearest bounded-plane hit per ray.  origin (3,), dirs (K,3) unit.
+    Returns (K,) ranges (inf when no hit)."""
+    d_n = dirs @ world.normal.T  # (K, M)
+    co = (world.center - origin)  # (M, 3)
+    num = np.einsum("mi,mi->m", co, world.normal)  # (M,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = num[None, :] / d_n  # (K, M)
+    tt = np.where((np.abs(d_n) > 1e-9) & (tt > min_range) & (tt < max_range), tt, np.inf)
+    # bounded-rectangle test
+    hit = origin[None, None, :] + tt[..., None] * dirs[:, None, :]  # (K, M, 3)
+    rel = hit - world.center[None, :, :]
+    uu = np.einsum("mi,mi->m", world.u, world.u)
+    vv = np.einsum("mi,mi->m", world.v, world.v)
+    pu = np.abs(np.einsum("kmi,mi->km", rel, world.u)) / np.maximum(uu, 1e-12)
+    pv = np.abs(np.einsum("kmi,mi->km", rel, world.v)) / np.maximum(vv, 1e-12)
+    tt = np.where((pu <= 1.0) & (pv <= 1.0), tt, np.inf)
+    return tt.min(axis=1)
+
+
+# ---------------------------------------------------------------- simulate
+
+@dataclass
+class SynthScan:
+    t_begin: float  # scan begin time (s)
+    t_end: float
+    points: np.ndarray  # (K, 3) LiDAR-frame points at acquisition time
+    offsets: np.ndarray  # (K,) per-point time offsets from t_begin (s)
+
+
+@dataclass
+class SynthData:
+    scans: List[SynthScan]
+    imu_t: np.ndarray  # (M,) timestamps
+    imu_gyr: np.ndarray  # (M, 3)
+    imu_acc: np.ndarray  # (M, 3)
+    gt_t: np.ndarray  # ground-truth poses at scan ends
+    gt_R: np.ndarray
+    gt_p: np.ndarray
+    gravity: np.ndarray
+
+
+def lidar_dirs(n_lines: int = 16, n_cols: int = 64,
+               fov_v: float = 35.0, fov_h: float = 70.0) -> np.ndarray:
+    """A forward-looking grid scan pattern (Avia-like FoV)."""
+    el = np.deg2rad(np.linspace(-fov_v / 2, fov_v / 2, n_lines))
+    az = np.deg2rad(np.linspace(-fov_h / 2, fov_h / 2, n_cols))
+    el, az = np.meshgrid(el, az, indexing="ij")
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1)
+    return d.reshape(-1, 3)
+
+
+def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
+             world: PlaneWorld | None = None, traj: Trajectory | None = None,
+             dirs: np.ndarray | None = None,
+             gyr_noise: float = 0.0, acc_noise: float = 0.0,
+             gyr_bias=(0.0, 0.0, 0.0), acc_bias=(0.0, 0.0, 0.0),
+             range_noise: float = 0.0, gravity: float = 9.8,
+             extrinsic_R: np.ndarray | None = None,
+             extrinsic_t: np.ndarray | None = None,
+             t0: float = 0.5, seed: int = 1) -> SynthData:
+    """Simulate scans+IMU along the trajectory.
+
+    IMU: gyr = ω_body + bg, acc = Rᵀ(a_w − g_w) + ba  (g_w = −g ez... the
+    estimator's convention is x.g ≈ world gravity acceleration vector,
+    i.e. pointing down, and acc measures Rᵀ(a_w − x.g)).
+    LiDAR points are emitted in the LiDAR frame (extrinsics applied) at
+    their true acquisition time, uniformly spread across the scan.
+    """
+    rng = np.random.default_rng(seed)
+    world = world or make_room()
+    traj = traj or Trajectory()
+    dirs = dirs if dirs is not None else lidar_dirs()
+    eR = np.eye(3) if extrinsic_R is None else extrinsic_R
+    et = np.zeros(3) if extrinsic_t is None else extrinsic_t
+    g_w = np.array([0.0, 0.0, -gravity])
+    bg = np.asarray(gyr_bias, float)
+    ba = np.asarray(acc_bias, float)
+
+    dt_scan = 1.0 / scan_hz
+    # IMU stream covering [t0 - dt, t_end + dt]
+    t_imu0 = t0 - 0.2
+    t_end_all = t0 + n_scans * dt_scan + 0.05
+    imu_t = np.arange(t_imu0, t_end_all, 1.0 / imu_hz)
+    imu_gyr = np.stack([traj.omega_body(t) for t in imu_t]) + bg
+    imu_acc = np.stack(
+        [traj.rot(t).T @ (traj.acc(t) - g_w) for t in imu_t]
+    ) + ba
+    if gyr_noise > 0:
+        imu_gyr = imu_gyr + rng.normal(0, gyr_noise, imu_gyr.shape)
+    if acc_noise > 0:
+        imu_acc = imu_acc + rng.normal(0, acc_noise, imu_acc.shape)
+
+    scans, gt_R, gt_p, gt_t = [], [], [], []
+    K = dirs.shape[0]
+    for s in range(n_scans):
+        tb = t0 + s * dt_scan
+        te = tb + dt_scan
+        offs = np.linspace(0.0, dt_scan, K, endpoint=False)
+        # ray-cast each point at its own acquisition time from the
+        # LiDAR's true world pose at that time
+        pts = np.zeros((K, 3))
+        # group points into a few time buckets for speed
+        n_buckets = 10
+        for b in range(n_buckets):
+            idx = np.arange(K)[(offs * n_buckets / dt_scan).astype(int) == b]
+            if idx.size == 0:
+                continue
+            tm = tb + (b + 0.5) * dt_scan / n_buckets
+            offs[idx] = tm - tb
+            R_w = traj.rot(tm)
+            p_w = traj.pos(tm)
+            # LiDAR pose = IMU pose ∘ extrinsics
+            R_l = R_w @ eR
+            p_l = R_w @ et + p_w
+            d_w = (R_l @ dirs[idx].T).T
+            rr = raycast(world, p_l, d_w)
+            ok = np.isfinite(rr)
+            if range_noise > 0:
+                rr = rr + rng.normal(0, range_noise, rr.shape)
+            pts[idx] = np.where(ok[:, None], dirs[idx] * rr[:, None], np.nan)
+        valid = np.isfinite(pts).all(axis=1)
+        scans.append(SynthScan(tb, te, pts[valid], offs[valid]))
+        gt_t.append(te)
+        gt_R.append(traj.rot(te))
+        gt_p.append(traj.pos(te))
+
+    return SynthData(
+        scans=scans,
+        imu_t=imu_t,
+        imu_gyr=imu_gyr,
+        imu_acc=imu_acc,
+        gt_t=np.array(gt_t),
+        gt_R=np.stack(gt_R),
+        gt_p=np.stack(gt_p),
+        gravity=g_w,
+    )
