@@ -47,7 +47,7 @@ def identity(batch=(), dtype=jnp.float32) -> Preint:
     z3 = jnp.zeros(batch + (3,), dtype)
     z33 = jnp.zeros(batch + (3, 3), dtype)
     return Preint(
-        R_delta=jnp.broadcast_to(jnp.eye(3, dtype), batch + (3, 3)),
+        R_delta=jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3)),
         p_delta=z3,
         v_delta=z3,
         R_bg=z33,
@@ -81,7 +81,7 @@ def integrate(
     walk covariance propagation.
     """
     dtype = dt.dtype
-    I3 = jnp.eye(3, dtype)
+    I3 = jnp.eye(3, dtype=dtype)
 
     def step(carry, inp):
         pre = carry
@@ -100,7 +100,7 @@ def integrate(
         v_bg = pre.v_bg - Rdt @ ahat @ pre.R_bg
         R_bg = R_inc.T @ pre.R_bg - Jr * dt_i
 
-        A = jnp.eye(9, dtype)
+        A = jnp.eye(9, dtype=dtype)
         A = A.at[0:3, 0:3].set(R_inc.T)
         A = A.at[3:6, 0:3].set(-Rdt2 @ ahat)
         A = A.at[3:6, 6:9].set(I3 * dt_i)
@@ -170,7 +170,7 @@ def _evaluate_one(
         ]
     )
     cov_inv = jnp.linalg.inv(
-        pre.cov + jnp.eye(DIM, dtype) * 1e-10
+        pre.cov + jnp.eye(DIM, dtype=dtype) * 1e-10
     )
     chi2 = rr @ cov_inv @ rr
     if not with_jac:
@@ -196,7 +196,7 @@ def _evaluate_one(
     Ja = Ja.at[6:9, 9:12].set(-pre.v_bg)
     Ja = Ja.at[6:9, 12:15].set(-pre.v_ba)
     Jb = Jb.at[6:9, 6:9].set(x1.R.T)
-    I3 = jnp.eye(3, dtype)
+    I3 = jnp.eye(3, dtype=dtype)
     Ja = Ja.at[9:12, 9:12].set(-I3)
     Ja = Ja.at[12:15, 12:15].set(-I3)
     Jb = Jb.at[9:12, 9:12].set(I3)
@@ -244,12 +244,12 @@ def merge(a: Preint, b: Preint) -> Preint:
     v_ba = a.v_ba + a.R_delta @ b.v_ba
     R_bg = b.R_delta.T @ a.R_bg + b.R_bg
 
-    Ai = jnp.eye(DIM, dtype)
+    Ai = jnp.eye(DIM, dtype=dtype)
     Ai = Ai.at[0:3, 0:3].set(b.R_delta.T)
     Ai = Ai.at[3:6, 0:3].set(-a.R_delta @ so3.hat(b.p_delta))
-    Ai = Ai.at[3:6, 6:9].set(jnp.eye(3, dtype) * b.dtime)
+    Ai = Ai.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype) * b.dtime)
     Ai = Ai.at[6:9, 0:3].set(-a.R_delta @ so3.hat(b.v_delta))
-    Bi = jnp.eye(DIM, dtype)
+    Bi = jnp.eye(DIM, dtype=dtype)
     Bi = Bi.at[3:6, 3:6].set(a.R_delta)
     Bi = Bi.at[6:9, 6:9].set(a.R_delta)
     cov = Ai @ a.cov @ Ai.T + Bi @ b.cov @ Bi.T

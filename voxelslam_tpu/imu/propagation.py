@@ -124,7 +124,7 @@ def propagate(
     pose log used by `deskew`.
     """
     dtype = x.p.dtype
-    I3 = jnp.eye(3, dtype)
+    I3 = jnp.eye(3, dtype=dtype)
 
     def step(carry, inp):
         R, p, v, cov, w_prev, a_prev = carry
@@ -137,7 +137,7 @@ def propagate(
         rec = (R, p, v, w, a_w)
 
         # 15x15 covariance propagation (error-state midpoint model)
-        F = jnp.eye(DIM, dtype)
+        F = jnp.eye(DIM, dtype=dtype)
         F = F.at[0:3, 0:3].set(so3.exp(-w * dt))
         F = F.at[0:3, 9:12].set(-I3 * dt)
         F = F.at[3:6, 6:9].set(I3 * dt)
