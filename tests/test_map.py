@@ -1,0 +1,201 @@
+"""Voxel map tests: hash table semantics, plane recovery from
+synthetic scans, match gating, marginalization cap, eviction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxelslam_tpu.core import synthetic
+from voxelslam_tpu.map import hashmap, voxelmap
+from voxelslam_tpu.map.voxelmap import MapParams
+
+PARAMS = MapParams(capacity=1 << 14, voxel_size=1.0)
+
+
+class TestHashmap:
+    def test_insert_lookup_roundtrip(self):
+        rng = np.random.default_rng(0)
+        coords = rng.integers(-50, 50, size=(500, 3)).astype(np.int32)
+        levels = rng.integers(0, 3, size=500).astype(np.int32)
+        keys = hashmap.empty_keys(1 << 12)
+        keys, slots, created, ovf = hashmap.insert(
+            keys, jnp.asarray(coords), jnp.asarray(levels),
+            jnp.ones(500, bool), 16,
+        )
+        assert int(jnp.sum(ovf)) == 0
+        slots2 = hashmap.lookup(keys, jnp.asarray(coords), jnp.asarray(levels), 16)
+        np.testing.assert_array_equal(np.asarray(slots), np.asarray(slots2))
+        # duplicates map to the same slot
+        keys, slots3, created3, _ = hashmap.insert(
+            keys, jnp.asarray(coords), jnp.asarray(levels),
+            jnp.ones(500, bool), 16,
+        )
+        np.testing.assert_array_equal(np.asarray(slots), np.asarray(slots3))
+        assert not bool(jnp.any(created3))
+
+    def test_batch_duplicates_one_slot(self):
+        """Many identical keys in one batch get exactly one slot."""
+        coords = jnp.tile(jnp.array([[3, -4, 5]], jnp.int32), (64, 1))
+        levels = jnp.zeros(64, jnp.int32)
+        keys = hashmap.empty_keys(1 << 10)
+        keys, slots, created, ovf = hashmap.insert(keys, coords, levels,
+                                                   jnp.ones(64, bool), 8)
+        assert len(np.unique(np.asarray(slots))) == 1
+        assert int(jnp.sum(created)) == 1
+        assert int(hashmap.stats(keys).occupied) == 1
+
+    def test_lookup_missing(self):
+        keys = hashmap.empty_keys(1 << 10)
+        slots = hashmap.lookup(
+            keys, jnp.array([[1, 2, 3]], jnp.int32), jnp.array([0], jnp.int32), 8
+        )
+        assert int(slots[0]) == -1
+
+    def test_invalid_queries_untouched(self):
+        keys = hashmap.empty_keys(1 << 10)
+        keys, slots, _, _ = hashmap.insert(
+            keys, jnp.array([[1, 2, 3]], jnp.int32), jnp.array([0], jnp.int32),
+            jnp.array([False]), 8,
+        )
+        assert int(slots[0]) == -1
+        assert int(hashmap.stats(keys).occupied) == 0
+
+
+def _scatter_scan(vm, pts, params=PARAMS, W=1):
+    """Insert one identity-pose scan as the whole window."""
+    N = pts.shape[0]
+    pts_b = jnp.asarray(pts, jnp.float32)[None]
+    var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (1, N, 3, 3))
+    R = jnp.eye(3, dtype=jnp.float32)[None]
+    p = jnp.zeros((1, 3), jnp.float32)
+    valid = jnp.ones((1, N), bool)
+    return voxelmap.scatter(vm, pts_b, var, R, p, valid, jnp.float32(0), params)
+
+
+class TestVoxelMapPlanes:
+    def test_plane_recovery(self):
+        """Points on the synthetic room's floor produce a plane voxel
+        with the right normal."""
+        rng = np.random.default_rng(1)
+        # floor at z=-2: points in one voxel (0..1, 0..1)
+        pts = np.stack(
+            [rng.uniform(0, 1, 400), rng.uniform(0, 1, 400),
+             np.full(400, -2.0) + rng.normal(0, 0.005, 400)], axis=-1
+        )
+        vm = voxelmap.empty(PARAMS, 1)
+        vm, scratch, ovf = _scatter_scan(vm, pts)
+        assert int(ovf) == 0
+        vm = voxelmap.recut(vm, scratch, PARAMS)
+        pv = np.asarray(vm.plane_valid)
+        assert pv.sum() >= 1
+        nrm = np.asarray(vm.plane_n)[pv]
+        assert (np.abs(nrm[:, 2]) > 0.99).all()
+        # eigenvalues: λ0 tiny
+        eig = np.asarray(vm.eig)[pv]
+        assert (eig[:, 0] < 1e-3).all()
+
+    def test_subdivision_on_nonplanar(self):
+        """A voxel filled with an edge (two walls) fails the plane test
+        and subdivides; children refit planes on the next pass."""
+        rng = np.random.default_rng(2)
+        n = 300
+        wall_a = np.stack([rng.uniform(0, 1, n), np.full(n, 0.5),
+                           rng.uniform(0, 1, n)], -1)
+        wall_b = np.stack([np.full(n, 0.5), rng.uniform(0, 1, n),
+                           rng.uniform(0, 1, n)], -1)
+        pts = np.concatenate([wall_a, wall_b])
+        vm = voxelmap.empty(PARAMS, 1)
+        vm, scratch, _ = _scatter_scan(vm, pts)
+        vm = voxelmap.recut(vm, scratch, PARAMS)
+        st = np.asarray(vm.state)
+        occ = np.asarray(vm.keys)[:, 3]
+        assert (st[(occ == 0)] == 1).sum() >= 1  # root subdivided
+        # second pass routes points into children at level 1
+        vm, scratch, _ = _scatter_scan(vm, pts)
+        vm = voxelmap.recut(vm, scratch, PARAMS)
+        lvl1 = (np.asarray(vm.keys)[:, 3] == 1)
+        assert lvl1.sum() >= 2
+        assert np.asarray(vm.plane_valid)[lvl1].sum() >= 1
+
+    def test_match_on_plane(self):
+        rng = np.random.default_rng(3)
+        pts = np.stack(
+            [rng.uniform(0, 1, 400), rng.uniform(0, 1, 400),
+             np.full(400, 0.3) + rng.normal(0, 0.003, 400)], axis=-1
+        )
+        vm = voxelmap.empty(PARAMS, 1)
+        vm, scratch, _ = _scatter_scan(vm, pts)
+        vm = voxelmap.recut(vm, scratch, PARAMS)
+        q = jnp.asarray([[0.5, 0.5, 0.3], [0.5, 0.5, 0.9]], jnp.float32)
+        var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-6, (2, 3, 3))
+        res = voxelmap.match(vm, q, var, jnp.ones(2, bool), PARAMS)
+        ok = np.asarray(res.valid)
+        assert ok[0]  # on the plane: matched
+        assert not ok[1]  # 0.6 m off the plane: Mahalanobis-gated out
+        assert abs(float(res.dist[0])) < 0.02
+
+    def test_marginalize_then_plane_persists(self):
+        """After folding the scan into fixed moments, the plane still
+        fits with no window points (mid-term association path)."""
+        rng = np.random.default_rng(4)
+        pts = np.stack(
+            [rng.uniform(0, 1, 300), rng.uniform(0, 1, 300),
+             np.full(300, 0.2) + rng.normal(0, 0.003, 300)], axis=-1
+        )
+        vm = voxelmap.empty(PARAMS, 1)
+        vm, scratch, _ = _scatter_scan(vm, pts)
+        vm = voxelmap.recut(vm, scratch, PARAMS)
+        n_before = float(jnp.sum(vm.fix_n))
+        var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (300, 3, 3))
+        vm = voxelmap.marginalize(
+            vm, jnp.asarray(pts, jnp.float32), var,
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.ones(300, bool), PARAMS,
+        )
+        assert float(jnp.sum(vm.fix_n)) > n_before
+        # plane still matchable with empty window
+        q = jnp.asarray([[0.5, 0.5, 0.2]], jnp.float32)
+        var1 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-6, (1, 3, 3))
+        res = voxelmap.match(vm, q, var1, jnp.ones(1, bool), PARAMS)
+        assert bool(res.valid[0])
+
+    def test_marginalize_cap(self):
+        """fix_n never grows past max_points + one scan's worth; capped
+        voxels discard new history (reference max_points semantics)."""
+        params = PARAMS._replace(max_points=50)
+        rng = np.random.default_rng(5)
+        pts = np.stack(
+            [rng.uniform(0, 1, 200), rng.uniform(0, 1, 200),
+             np.full(200, 0.2) + rng.normal(0, 0.003, 200)], axis=-1
+        )
+        vm = voxelmap.empty(params, 1)
+        vm, scratch, _ = _scatter_scan(vm, pts, params)
+        vm = voxelmap.recut(vm, scratch, params)
+        var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (200, 3, 3))
+        args = (jnp.asarray(pts, jnp.float32), var,
+                jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+                jnp.ones(200, bool), params)
+        vm = voxelmap.marginalize(vm, *args)
+        n1 = float(jnp.max(vm.fix_n))
+        vm = voxelmap.marginalize(vm, *args)  # cap already reached
+        n2 = float(jnp.max(vm.fix_n))
+        assert n1 >= 50
+        assert n2 == n1  # discarded
+
+    def test_evict(self):
+        rng = np.random.default_rng(6)
+        pts = rng.uniform(0, 5, size=(500, 3))
+        vm = voxelmap.empty(PARAMS, 1)
+        vm, scratch, _ = _scatter_scan(vm, pts)
+        occ0 = int(hashmap.stats(vm.keys).occupied)
+        assert occ0 > 0
+        vm2 = voxelmap.evict(vm, jnp.float32(1000.0), PARAMS)
+        assert int(hashmap.stats(vm2.keys).occupied) == 0
+        vm3 = voxelmap.evict(vm, jnp.float32(100.0), PARAMS)
+        assert int(hashmap.stats(vm3.keys).occupied) == occ0
+        # surviving entries still resolve
+        coord = np.asarray(vm.keys)[np.asarray(vm.keys)[:, 3] >= 0]
+        slots = hashmap.lookup(
+            vm3.keys, jnp.asarray(coord[:, :3]), jnp.asarray(coord[:, 3]), 16
+        )
+        assert (np.asarray(slots) >= 0).all()

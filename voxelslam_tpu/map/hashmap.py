@@ -1,0 +1,135 @@
+"""Batched open-addressing hash table on device.
+
+Replaces the reference's `unordered_map<VOXEL_LOC, OctoTree*>`
+(voxel_map.hpp:1504-1540) with a fixed-capacity linear-probing table
+held in HBM.  Keys are (x, y, z, level) int32 quadruples; an empty
+slot has level = -1.
+
+Both operations are data-parallel over K queries with a static probe
+bound:
+
+- `lookup`: K gathers per probe round; resolved queries stop updating.
+- `insert` (find-or-create): per round, unresolved queries that see an
+  empty slot contend by `scatter-min` of their query index into a
+  claim array; winners write their key, losers whose key equals the
+  winner's adopt the slot, everyone else probes on.  This makes batch
+  insertion deterministic and race-free in pure XLA — the TPU-native
+  equivalent of the per-voxel mutexes in the reference
+  (voxel_map.hpp:959,971).
+
+The table never resizes; `insert` returns an overflow flag per query
+(probe bound exhausted).  Map-level eviction/compaction lives in
+voxelmap.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import hashing
+
+EMPTY_LEVEL = jnp.int32(-1)
+INT_MAX = jnp.int32(2**31 - 1)
+
+
+def empty_keys(capacity: int) -> jnp.ndarray:
+    """(C, 4) int32 key table, all empty."""
+    k = jnp.zeros((capacity, 4), jnp.int32)
+    return k.at[:, 3].set(EMPTY_LEVEL)
+
+
+def _key_equal(key_at: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(key_at == q, axis=-1)
+
+
+def lookup(
+    keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray, max_probe: int
+) -> jnp.ndarray:
+    """Find slots for K queries. Returns (K,) int32 slot, -1 if absent.
+
+    coord: (K, 3) int32; level: (K,) int32.
+    """
+    C = keys.shape[0]
+    q = jnp.concatenate([coord, level[:, None]], axis=-1)  # (K, 4)
+    h0 = hashing.slot_of(coord, level, C)
+    slot = jnp.full(h0.shape, -1, jnp.int32)
+    done = jnp.zeros(h0.shape, bool)
+
+    def body(r, carry):
+        slot, done = carry
+        cand = (h0 + r) & (C - 1)
+        key_at = keys[cand]
+        hit = _key_equal(key_at, q) & ~done
+        miss_empty = (key_at[:, 3] == EMPTY_LEVEL) & ~done
+        slot = jnp.where(hit, cand, slot)
+        done = done | hit | miss_empty  # empty slot ⇒ key not in table
+        return slot, done
+
+    slot, done = jax.lax.fori_loop(0, max_probe, body, (slot, done))
+    return slot
+
+
+def insert(
+    keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray,
+    valid: jnp.ndarray, max_probe: int
+):
+    """Find-or-create slots for K queries (duplicates allowed).
+
+    Returns (keys', slot, created, overflow):
+      slot (K,) int32 (-1 on overflow), created (K,) bool (this query's
+      key was newly added by this batch), overflow (K,) bool.
+    Invalid queries get slot -1 and never touch the table.
+    """
+    C = keys.shape[0]
+    K = coord.shape[0]
+    q = jnp.concatenate([coord, level[:, None]], axis=-1)
+    h0 = hashing.slot_of(coord, level, C)
+    qidx = jnp.arange(K, dtype=jnp.int32)
+    slot = jnp.full((K,), -1, jnp.int32)
+    done = ~valid
+    created = jnp.zeros((K,), bool)
+
+    def body(r, carry):
+        keys, slot, done, created = carry
+        cand = (h0 + r) & (C - 1)
+        key_at = keys[cand]
+        hit = _key_equal(key_at, q) & ~done
+        slot = jnp.where(hit, cand, slot)
+        done = done | hit
+
+        # contend for empty slots
+        empty = (key_at[:, 3] == EMPTY_LEVEL) & ~done
+        claim = jnp.full((C,), INT_MAX, jnp.int32)
+        claim = claim.at[jnp.where(empty, cand, C)].min(
+            qidx, mode="drop"
+        )
+        won = empty & (claim[cand] == qidx)
+        keys = keys.at[jnp.where(won, cand, C)].set(q, mode="drop")
+        slot = jnp.where(won, cand, slot)
+        created = created | won
+        done = done | won
+        # losers whose key equals what the winner just wrote adopt it
+        key_at2 = keys[cand]
+        adopt = empty & ~done & _key_equal(key_at2, q)
+        slot = jnp.where(adopt, cand, slot)
+        done = done | adopt
+        return keys, slot, done, created
+
+    keys, slot, done, created = jax.lax.fori_loop(
+        0, max_probe, body, (keys, slot, done, created)
+    )
+    overflow = ~done & valid
+    return keys, slot, created, overflow
+
+
+class HashStats(NamedTuple):
+    occupied: jnp.ndarray
+    load: jnp.ndarray
+
+
+def stats(keys: jnp.ndarray) -> HashStats:
+    occ = jnp.sum(keys[:, 3] != EMPTY_LEVEL)
+    return HashStats(occ, occ / keys.shape[0])

@@ -1,0 +1,500 @@
+"""Device-resident adaptive voxel map.
+
+TPU-native redesign of the reference's hash-of-octrees map
+(`unordered_map<VOXEL_LOC, OctoTree*>` + `OctoTree`,
+voxel_map.hpp:935-1698).  Three structural changes, per SURVEY.md §7:
+
+1. **Octree → multi-level hash.**  The ≤2 subdivision layers become
+   hash levels: one open-addressing table stores (coord, level) keys
+   at voxel sizes s, s/2, s/4; a `subdivided` bit per slot replaces
+   `octo_state`.  Point routing walks levels with vectorized lookups
+   instead of pointer recursion (`allocate`/`match` descent,
+   voxel_map.hpp:1021-1116, 1335-1392).
+
+2. **Functional window clusters.**  The per-voxel per-scan
+   `SlideWindow` storage with ring-index remapping (`mp[]`,
+   voxel_map.hpp:895-930, voxelslam.cpp:1689-1693) is replaced by
+   rebuilding per-voxel clusters each scan from the flat padded window
+   point arrays via scatter-add.  Sliding the window is then just
+   shifting those flat arrays; subdivision re-routing and post-BA pose
+   refresh fall out for free.
+
+3. **Center-relative moments.**  All world-frame moments accumulate
+   relative to each voxel's center so f32 keeps the ~1e-3 m² plane
+   eigenvalue signal (the f64 reference accumulates absolute
+   coordinates, tools.hpp:329).
+
+Fixed (marginalized) history is per-slot and incremental exactly like
+the reference's `pcr_fix`/`point_fix` capped at `max_points`
+(voxel_map.hpp:1249-1278), except that fixed moments accumulate at
+*all* levels so a later subdivision never needs stored raw points.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import cluster, hashing
+from ..core.cluster import Cluster
+from ..ops import eigh3
+from . import hashmap
+
+
+class MapParams(NamedTuple):
+    """Static map configuration (hashable; passed as jit-static)."""
+
+    capacity: int = 1 << 17
+    max_probe: int = 16
+    voxel_size: float = 1.0
+    max_layer: int = 2  # levels 0..max_layer
+    min_point: tuple = (5, 5, 5, 5)  # per-level minimum N (voxelslam.cpp:812)
+    min_eigen_value: float = 0.0025  # plane λ0 gate (avia.yaml)
+    plane_thre_inv: tuple = (0.25, 0.25, 0.25, 0.25)  # λ0/λ2 gate, inverted
+    #                         at load like voxelslam.cpp:825
+    max_points: int = 100  # fixed-point cap per voxel (voxel_map.hpp:86)
+    evict_dist: float = 700.0  # distance-based eviction (voxelslam.cpp:1509)
+
+    def level_size(self, level):
+        return self.voxel_size / (2.0**level)
+
+
+class VoxelMap(NamedTuple):
+    """Persistent per-slot map state (everything a scan leaves behind)."""
+
+    keys: jnp.ndarray  # (C, 4) int32 (x, y, z, level); level -1 = empty
+    state: jnp.ndarray  # (C,) int32: 0 leaf, 1 subdivided
+    fix_P: jnp.ndarray  # (C, 6) fixed moments, center-relative world
+    fix_v: jnp.ndarray  # (C, 3)
+    fix_n: jnp.ndarray  # (C,)
+    fix_cov: jnp.ndarray  # (C, 9, 9) Bf_var sum of fixed points
+    plane_valid: jnp.ndarray  # (C,) bool
+    plane_n: jnp.ndarray  # (C, 3) unit normal
+    plane_c: jnp.ndarray  # (C, 3) plane center, relative to voxel center
+    plane_var: jnp.ndarray  # (C, 6, 6) cov of (normal, center)
+    plane_radius: jnp.ndarray  # (C,) λ2 of the voxel covariance
+    eig: jnp.ndarray  # (C, 3) eigenvalues of current voxel covariance
+    last_num: jnp.ndarray  # (C,) N at last plane refresh
+    jour: jnp.ndarray  # (C,) travel stamp at last touch
+
+
+class ScanScratch(NamedTuple):
+    """Per-scan rebuilt window aggregates (not persisted)."""
+
+    win_P: jnp.ndarray  # (C, W, 6) body-frame cluster per window slot
+    win_v: jnp.ndarray  # (C, W, 3)
+    win_n: jnp.ndarray  # (C, W)
+    add_P: jnp.ndarray  # (C, 6) world center-relative window sum
+    add_v: jnp.ndarray  # (C, 3)
+    add_n: jnp.ndarray  # (C,)
+    add_cov: jnp.ndarray  # (C, 9, 9) Bf_var sum of window points
+
+
+def empty(params: MapParams, win_size: int, dtype=jnp.float32) -> VoxelMap:
+    C = params.capacity
+    return VoxelMap(
+        keys=hashmap.empty_keys(C),
+        state=jnp.zeros((C,), jnp.int32),
+        fix_P=jnp.zeros((C, 6), dtype),
+        fix_v=jnp.zeros((C, 3), dtype),
+        fix_n=jnp.zeros((C,), dtype),
+        fix_cov=jnp.zeros((C, 9, 9), dtype),
+        plane_valid=jnp.zeros((C,), bool),
+        plane_n=jnp.zeros((C, 3), dtype),
+        plane_c=jnp.zeros((C, 3), dtype),
+        plane_var=jnp.zeros((C, 6, 6), dtype),
+        plane_radius=jnp.zeros((C,), dtype),
+        eig=jnp.zeros((C, 3), dtype),
+        last_num=jnp.zeros((C,), dtype),
+        jour=jnp.zeros((C,), dtype),
+    )
+
+
+# ------------------------------------------------------------------ routing
+
+def _coords_at_levels(pts_w: jnp.ndarray, params: MapParams):
+    """(..., 3) world points -> (..., L, 3) int32 coords per level."""
+    L = params.max_layer + 1
+    return jnp.stack(
+        [hashing.voxel_coord(pts_w, params.level_size(l)) for l in range(L)],
+        axis=-2,
+    )
+
+
+def assign(vmap: VoxelMap, pts_w: jnp.ndarray, valid: jnp.ndarray,
+           params: MapParams):
+    """Route each world point to its target (coord, level).
+
+    Walks the subdivision chain (the octree descent of
+    voxel_map.hpp:1021-1045 made breadth-wise): a point targets the
+    first level whose voxel is absent (to be created) or a leaf.
+    Returns (coord (K,3), level (K,), slot (K,) of existing voxel or
+    -1).
+    """
+    L = params.max_layer + 1
+    coords = _coords_at_levels(pts_w, params)  # (K, L, 3)
+    K = pts_w.shape[0]
+    flat = coords.reshape(K * L, 3)
+    levels = jnp.tile(jnp.arange(L, dtype=jnp.int32), (K,))
+    slots = hashmap.lookup(vmap.keys, flat, levels, params.max_probe)
+    slots = slots.reshape(K, L)
+    exists = slots >= 0
+    subdiv = jnp.where(exists, vmap.state[jnp.clip(slots, 0)] == 1, False)
+    # target level = first level that is (absent or leaf); a subdivided
+    # level passes through to the next.
+    lvl = jnp.zeros((K,), jnp.int32)
+    for l in range(L - 1):
+        go_deeper = subdiv[:, l] & (lvl == l)
+        lvl = jnp.where(go_deeper, l + 1, lvl)
+    coord = jnp.take_along_axis(coords, lvl[:, None, None], axis=1)[:, 0]
+    slot = jnp.take_along_axis(slots, lvl[:, None], axis=1)[:, 0]
+    return coord, lvl, slot
+
+
+# ------------------------------------------------------------------ scatter
+
+def _bf_var(pw_rel: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
+    """Per-point 9x9 covariance contribution of (P_packed, v) moments
+    from the point's 3x3 covariance (reference Bf_var,
+    voxel_map.hpp:91-106).  pw_rel: (..., 3) center-relative position.
+    """
+    x, y, z = pw_rel[..., 0], pw_rel[..., 1], pw_rel[..., 2]
+    zero = jnp.zeros_like(x)
+    Bi = jnp.stack(
+        [
+            jnp.stack([2 * x, zero, zero], axis=-1),
+            jnp.stack([y, x, zero], axis=-1),
+            jnp.stack([z, zero, x], axis=-1),
+            jnp.stack([zero, 2 * y, zero], axis=-1),
+            jnp.stack([zero, z, y], axis=-1),
+            jnp.stack([zero, zero, 2 * z], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 6, 3)
+    BiV = Bi @ var  # (..., 6, 3)
+    top = jnp.concatenate([BiV @ jnp.swapaxes(Bi, -1, -2), BiV], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(BiV, -1, -2), var], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
+
+
+def scatter(
+    vmap: VoxelMap,
+    pts_body: jnp.ndarray,  # (W, N, 3) body-frame window points
+    var_w: jnp.ndarray,  # (W, N, 3, 3) world point covariances
+    R: jnp.ndarray,  # (W, 3, 3) window poses
+    p: jnp.ndarray,  # (W, 3)
+    valid: jnp.ndarray,  # (W, N) bool
+    jour: jnp.ndarray,  # () current travel stamp
+    params: MapParams,
+):
+    """Insert window points into the map and rebuild the per-voxel
+    window aggregates (replaces cut_voxel_multi + the per-voxel push
+    chain, voxel_map.hpp:969-994, 1543-1639).
+
+    Returns (vmap', ScanScratch, overflow_count).
+    """
+    W, N, _ = pts_body.shape
+    C = params.capacity
+    K = W * N
+    dtype = pts_body.dtype
+
+    pts_w = jnp.einsum("wij,wnj->wni", R, pts_body) + p[:, None, :]
+    flat_w = pts_w.reshape(K, 3)
+    flat_valid = valid.reshape(K)
+
+    coord, lvl, _ = assign(vmap, flat_w, flat_valid, params)
+    keys, slot, created, overflow = hashmap.insert(
+        vmap.keys, coord, lvl, flat_valid, params.max_probe
+    )
+    ok = flat_valid & (slot >= 0)
+    slot_safe = jnp.where(ok, slot, C)  # C = dropped by scatter mode
+
+    # newly created slots start as clean leaves
+    st = vmap.state.at[jnp.where(created, slot, C)].set(0, mode="drop")
+    jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
+
+    # voxel centers for center-relative moments
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    csize = sizes[lvl]
+    center = (coord.astype(dtype) + 0.5) * csize[:, None]
+    rel = flat_w - center
+
+    # window-slot index per point
+    widx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+
+    # body-frame per-window-slot clusters (for the BA factor / margi)
+    body = pts_body.reshape(K, 3)
+    obody = cluster.point_outer_packed(body)
+    wsel = jnp.where(ok, slot * W + widx, C * W)
+    win_P = (
+        jnp.zeros((C * W, 6), dtype).at[wsel].add(obody, mode="drop")
+    ).reshape(C, W, 6)
+    win_v = (
+        jnp.zeros((C * W, 3), dtype).at[wsel].add(body, mode="drop")
+    ).reshape(C, W, 3)
+    win_n = (
+        jnp.zeros((C * W,), dtype)
+        .at[wsel]
+        .add(jnp.ones((K,), dtype), mode="drop")
+    ).reshape(C, W)
+
+    # world center-relative window sum (for plane fitting)
+    orel = cluster.point_outer_packed(rel)
+    add_P = jnp.zeros((C, 6), dtype).at[slot_safe].add(orel, mode="drop")
+    add_v = jnp.zeros((C, 3), dtype).at[slot_safe].add(rel, mode="drop")
+    add_n = (
+        jnp.zeros((C,), dtype).at[slot_safe].add(jnp.ones((K,), dtype), mode="drop")
+    )
+
+    # moment-noise accumulation (Bf_var) for the plane covariance
+    bcov = _bf_var(rel, var_w.reshape(K, 3, 3))
+    add_cov = (
+        jnp.zeros((C, 9, 9), dtype).at[slot_safe].add(bcov, mode="drop")
+    )
+
+    vmap = vmap._replace(keys=keys, state=st, jour=jour_arr)
+    scratch = ScanScratch(win_P, win_v, win_n, add_P, add_v, add_n, add_cov)
+    return vmap, scratch, jnp.sum(overflow)
+
+
+# ------------------------------------------------------------------ planes
+
+def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
+                  cov9: jnp.ndarray, w: jnp.ndarray, V: jnp.ndarray):
+    """Plane center/normal + 6x6 covariance from voxel moments via
+    first-order eigenvector perturbation (reference plane_update,
+    voxel_map.hpp:1118-1146).  All args batched over slots."""
+    nv = 1.0 / jnp.maximum(n, 1.0)
+    center = v * nv[..., None]
+    u0 = V[..., :, 0]
+    # u_c (3x9): sensitivity of the normal to the 9 moment coords
+    u_c = jnp.zeros(P.shape[:-1] + (3, 9), P.dtype)
+    for k in (1, 2):
+        uk = V[..., :, k]
+        M = uk[..., :, None] * u0[..., None, :]  # u_k u_0ᵀ
+        fP = jnp.stack(
+            [
+                M[..., 0, 0],
+                M[..., 1, 0] + M[..., 0, 1],
+                M[..., 2, 0] + M[..., 0, 2],
+                M[..., 1, 1],
+                M[..., 1, 2] + M[..., 2, 1],
+                M[..., 2, 2],
+            ],
+            axis=-1,
+        )
+        fv = -(
+            jnp.sum(uk * center, axis=-1)[..., None] * u0
+            + jnp.sum(u0 * center, axis=-1)[..., None] * uk
+        )
+        f = jnp.concatenate([fP, fv], axis=-1)  # (..., 9)
+        gap = w[..., 0] - w[..., k]
+        coef = nv / jnp.where(jnp.abs(gap) > 1e-9, gap, 1e-9)
+        u_c = u_c + coef[..., None, None] * (
+            uk[..., :, None] * f[..., None, :]
+        )
+    Jc = u_c @ cov9  # (..., 3, 9)
+    var_nn = Jc @ jnp.swapaxes(u_c, -1, -2)
+    Jc_N = nv[..., None, None] * Jc[..., :, 6:9]
+    var_cc = (nv * nv)[..., None, None] * cov9[..., 6:9, 6:9]
+    top = jnp.concatenate([var_nn, Jc_N], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(Jc_N, -1, -2), var_cc], axis=-1)
+    pvar = jnp.concatenate([top, bot], axis=-2)
+    return u0, center, pvar, w[..., 2]
+
+
+def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams) -> VoxelMap:
+    """Per-slot plane refit + subdivision decision (reference recut +
+    plane_update, voxel_map.hpp:1118-1194), batched over all slots.
+
+    pcr_add = fixed + window moments; plane gate
+    λ0 < min_eigen_value AND λ0/λ2 < thre[level]
+    (plane_judge, voxel_map.hpp:1015-1019).  A failed leaf below
+    max_layer flips to subdivided; its points re-route on the next
+    scatter pass.
+    """
+    dtype = scratch.add_P.dtype
+    occupied = vmap.keys[:, 3] >= 0
+    level = jnp.clip(vmap.keys[:, 3], 0)
+    leaf = occupied & (vmap.state == 0)
+    has_win = scratch.add_n > 0
+
+    P = vmap.fix_P + scratch.add_P
+    v = vmap.fix_v + scratch.add_v
+    n = vmap.fix_n + scratch.add_n
+    cov9 = vmap.fix_cov + scratch.add_cov
+
+    c = Cluster(P, v, n)
+    S = cluster.cov(c)
+    w, V = eigh3.eigh3(S)
+
+    min_point = jnp.asarray(params.min_point, dtype)[level]
+    thre = jnp.asarray(params.plane_thre_inv, dtype)[level]
+    enough = n > min_point
+    lam0 = w[..., 0]
+    lam2 = jnp.maximum(w[..., 2], 1e-12)
+    is_plane = (lam0 < params.min_eigen_value) & (lam0 / lam2 < thre)
+
+    active = leaf & has_win & enough
+    subdivide = active & ~is_plane & (level < params.max_layer)
+    plane_ok = active & is_plane
+
+    u0, center, pvar, radius = _plane_params(P, v, n, cov9, w, V)
+
+    sel = plane_ok[:, None]
+    sel2 = plane_ok[:, None, None]
+    return vmap._replace(
+        state=jnp.where(subdivide, 1, vmap.state),
+        # keep previous plane when this scan didn't revisit the voxel;
+        # drop it when the voxel subdivided or lost plane-ness
+        plane_valid=jnp.where(
+            active, is_plane, vmap.plane_valid & ~subdivide
+        ),
+        plane_n=jnp.where(sel, u0, vmap.plane_n),
+        plane_c=jnp.where(sel, center, vmap.plane_c),
+        plane_var=jnp.where(sel2, pvar, vmap.plane_var),
+        plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
+        eig=jnp.where(active[:, None], w, vmap.eig),
+    )
+
+
+# ------------------------------------------------------------------ match
+
+class MatchResult(NamedTuple):
+    valid: jnp.ndarray  # (K,) bool
+    normal: jnp.ndarray  # (K, 3)
+    dist: jnp.ndarray  # (K,) signed point-to-plane distance
+    sigma: jnp.ndarray  # (K,) plane+point variance along the normal
+    slot: jnp.ndarray  # (K,) matched slot (for diagnostics)
+
+
+def match(
+    vmap: VoxelMap,
+    pts_w: jnp.ndarray,  # (K, 3) world points
+    var_w: jnp.ndarray,  # (K, 3, 3) world point covariance
+    valid: jnp.ndarray,  # (K,)
+    params: MapParams,
+) -> MatchResult:
+    """Point-to-plane association with ±3σ Mahalanobis gating
+    (reference match, voxel_map.hpp:1335-1392 + map-level descent
+    1673-1698), fully vectorized.
+
+    Gates: (1) in-plane distance² ≤ 9·λ2 (plane extent), and
+    (2) |point-to-plane| < 3σ with σ² = J Σ_plane Jᵀ + nᵀ Σ_pt n.
+    """
+    coord, lvl, slot = assign(vmap, pts_w, valid, params)
+    found = valid & (slot >= 0)
+    s = jnp.clip(slot, 0)
+    pl_ok = found & vmap.plane_valid[s]
+
+    dtype = pts_w.dtype
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    vox_center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
+    rel = pts_w - vox_center
+    nrm = vmap.plane_n[s]
+    ctr = vmap.plane_c[s]
+    d = jnp.sum(nrm * (rel - ctr), axis=-1)
+    dc2 = jnp.sum((rel - ctr) ** 2, axis=-1)
+    range_ok = (dc2 - d * d) <= 9.0 * vmap.plane_radius[s]
+
+    J = jnp.concatenate([rel - ctr, -nrm], axis=-1)  # (K, 6)
+    pvar = vmap.plane_var[s]
+    sigma = jnp.einsum("ki,kij,kj->k", J, pvar, J)
+    sigma = sigma + jnp.einsum("ki,kij,kj->k", nrm, var_w, nrm)
+    sigma = jnp.maximum(sigma, 1e-12)
+    gate = jnp.abs(d) < 3.0 * jnp.sqrt(sigma)
+
+    ok = pl_ok & range_ok & gate
+    return MatchResult(ok, nrm, d, sigma, jnp.where(ok, slot, -1))
+
+
+# ------------------------------------------------------------------ margi
+
+def marginalize(
+    vmap: VoxelMap,
+    pts_body: jnp.ndarray,  # (N, 3) oldest scan's points (body frame)
+    var_w: jnp.ndarray,  # (N, 3, 3)
+    R: jnp.ndarray,  # (3, 3) final BA pose of the oldest scan
+    p: jnp.ndarray,  # (3,)
+    valid: jnp.ndarray,  # (N,)
+    params: MapParams,
+) -> VoxelMap:
+    """Fold the oldest scan into the fixed per-voxel history
+    (reference margi, voxel_map.hpp:1196-1305).
+
+    The cap policy mirrors the reference: voxels whose fixed count
+    already reached max_points discard the scan (their plane stays
+    frozen); others absorb moments + noise.  Because window clusters
+    are rebuilt functionally every scan, no per-slot clearing is
+    needed — the scan simply leaves the window arrays.
+    """
+    C = params.capacity
+    dtype = pts_body.dtype
+    pts_w = jnp.einsum("ij,nj->ni", R, pts_body) + p
+    coord, lvl, slot = assign(vmap, pts_w, valid, params)
+    ok = valid & (slot >= 0)
+    s = jnp.clip(slot, 0)
+    # cap gate evaluated on pre-marginalization counts
+    ok = ok & (vmap.fix_n[s] < params.max_points)
+    slot_safe = jnp.where(ok, slot, C)
+
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
+    rel = pts_w - center
+    orel = cluster.point_outer_packed(rel)
+    fix_P = vmap.fix_P.at[slot_safe].add(orel, mode="drop")
+    fix_v = vmap.fix_v.at[slot_safe].add(rel, mode="drop")
+    fix_n = vmap.fix_n.at[slot_safe].add(jnp.ones_like(rel[:, 0]), mode="drop")
+    bcov = _bf_var(rel, var_w)
+    fix_cov = vmap.fix_cov.at[slot_safe].add(bcov, mode="drop")
+    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n, fix_cov=fix_cov)
+
+
+# ------------------------------------------------------------------ evict
+
+def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams) -> VoxelMap:
+    """Distance-based eviction + table compaction (reference idle-time
+    release, voxelslam.cpp:1503-1527): drop voxels whose last touch is
+    more than evict_dist of travel behind, rebuilding the table so
+    probe chains stay short.  Call occasionally from the host loop.
+    """
+    C = params.capacity
+    occupied = vmap.keys[:, 3] >= 0
+    keep = occupied & (jour_now - vmap.jour < params.evict_dist)
+
+    fresh = hashmap.empty_keys(C)
+    coords = vmap.keys[:, :3]
+    levels = jnp.where(keep, vmap.keys[:, 3], -1)
+    keys, slot, created, _ = hashmap.insert(
+        fresh, coords, levels, keep, params.max_probe
+    )
+    dst = jnp.where(keep & (slot >= 0), slot, C)
+
+    def move(arr, fill=0.0):
+        out = jnp.full_like(arr, fill)
+        return out.at[dst].set(arr, mode="drop")
+
+    return VoxelMap(
+        keys=keys,
+        state=move(vmap.state),
+        fix_P=move(vmap.fix_P),
+        fix_v=move(vmap.fix_v),
+        fix_n=move(vmap.fix_n),
+        fix_cov=move(vmap.fix_cov),
+        plane_valid=move(vmap.plane_valid, False),
+        plane_n=move(vmap.plane_n),
+        plane_c=move(vmap.plane_c),
+        plane_var=move(vmap.plane_var),
+        plane_radius=move(vmap.plane_radius),
+        eig=move(vmap.eig),
+        last_num=move(vmap.last_num),
+        jour=move(vmap.jour),
+    )
