@@ -1,0 +1,252 @@
+"""Levenberg–Marquardt solvers for the sliding-window BA.
+
+TPU-native counterparts of the reference's three optimizers
+(voxel_map.hpp:293-864):
+
+- `lidar_ba` : poses only (6W system)               — Lidar_BA_Optimizer
+- `li_ba`    : LiDAR+IMU on 15W (+3 shared gravity) — LI_BA_Optimizer /
+               LI_BA_OptimizerGravity
+
+Where the reference splits Hessian assembly across 5 CPU threads and
+solves with Eigen LDLT, here assembly is the batched einsums of
+lidar_factor.py plus vmapped IMU factor evaluation, and the (≤153)²
+damped system solves with `jnp.linalg.solve` on device.  The whole LM
+iteration (accept/reject with the u·v damping schedule of
+voxel_map.hpp:386-438, gauge fixing by pinning the first state, bias
+re-linearization via the preintegration first-order correction) runs
+inside the jitted step — no host round trips.
+
+Design notes vs the reference:
+- `is_calc_hess` reuse-on-reject is replaced by recomputing at the
+  unchanged accepted state — mathematically identical, branch-free.
+- The dbg/dba rollback buffers (voxel_map.hpp:639-643) vanish: bias
+  deltas are *derived* (dbg_j = xs[j].bg − preint.bg0_j), so rejecting
+  a step rolls them back automatically with the states.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+from ..core.state import DIM, NavState
+from ..imu import preintegration as pre
+from . import lidar_factor as lf
+
+
+def _gauge_fix(H: jnp.ndarray, g: jnp.ndarray, n_fix: int):
+    """Pin the first state: zero its rows/cols, identity diagonal
+    (voxel_map.hpp:397-400, 591-594)."""
+    H = H.at[:n_fix, :].set(0.0)
+    H = H.at[:, :n_fix].set(0.0)
+    H = H.at[:n_fix, :n_fix].set(jnp.eye(n_fix, dtype=H.dtype))
+    g = g.at[:n_fix].set(0.0)
+    return H, g
+
+
+def _solve_damped(H, g, u, n_fix):
+    Hf, gf = _gauge_fix(H, g, n_fix)
+    D = jnp.diag(jnp.diag(Hf))
+    dxi = jnp.linalg.solve(Hf + u * D, -gf)
+    # predicted decrease q1 = ½ dᵀ(uDd − g)  (voxel_map.hpp:410)
+    q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
+    return dxi, q1
+
+
+def _lm_damping(u, v, accept, q, q1):
+    """u·v damping schedule (voxel_map.hpp:419-435)."""
+    ratio = q / jnp.where(jnp.abs(q1) > 1e-30, q1, 1e-30)
+    shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * ratio - 1.0) ** 3)
+    u_new = jnp.where(accept, u * shrink, u * v)
+    v_new = jnp.where(accept, jnp.full_like(v, 2.0), 2.0 * v)
+    return u_new, v_new
+
+
+class BAResult(NamedTuple):
+    xs: NavState  # optimized window states (stacked, leading dim W)
+    hess: jnp.ndarray  # final (un-gauged) Hessian for edge-noise export
+    resid0: jnp.ndarray  # residual before optimization
+    resid1: jnp.ndarray  # residual after
+    converged: jnp.ndarray
+
+
+# ------------------------------------------------------------- lidar-only
+
+def lidar_ba(
+    xs: NavState, factors: lf.LidarFactors, max_iter: int = 3, u_init=0.01
+) -> BAResult:
+    """LM on poses only (Lidar_BA_Optimizer::damping_iter,
+    voxel_map.hpp:367-442); used by HBA submap refinement."""
+    W = xs.p.shape[0]
+    dtype = xs.p.dtype
+    n = W * 6
+
+    def assemble(x):
+        res, cache = lf.evaluate_residual(factors, x.R, x.p)
+        _, g6, H6 = lf.evaluate_hess(factors, cache, x.R, x.p)
+        H = H6.transpose(0, 2, 1, 3).reshape(n, n)
+        return res, H, g6.reshape(n)
+
+    def apply_dx(x, dxi):
+        dx = dxi.reshape(W, 6)
+        return x._replace(
+            R=x.R @ so3.exp(dx[:, 0:3]), p=x.p + dx[:, 3:6]
+        )
+
+    res0, _ = lf.evaluate_residual(factors, xs.R, xs.p)
+
+    def body(i, carry):
+        x, u, v, res_last, done, Hsave = carry
+        res1, H, g = assemble(x)
+        dxi, q1 = _solve_damped(H, g, u, 6)
+        x_new = apply_dx(x, dxi)
+        res2, _ = lf.evaluate_residual(factors, x_new.R, x_new.p)
+        q = res1 - res2
+        accept = (q > 0.0) & ~done
+        u, v = _lm_damping(u, v, q > 0.0, q, q1)
+        x = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), x_new, x
+        )
+        conv = jnp.abs(q / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
+        return (
+            x, u, v, jnp.where(accept, res2, res1), done | conv,
+            jnp.where(done, Hsave, H),
+        )
+
+    init = (
+        xs, jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
+        res0, jnp.asarray(False), jnp.zeros((n, n), dtype),
+    )
+    x, u, v, res_last, done, H = jax.lax.fori_loop(0, max_iter, body, init)
+    return BAResult(x, H, res0, res_last, done)
+
+
+# ----------------------------------------------------------- lidar + imu
+
+def _imu_system(xs: NavState, pres: pre.Preint, with_gravity: bool):
+    """Assemble the IMU chain into a (W·15[+3])² system.
+
+    Factors couple consecutive states (LI divide_thread,
+    voxel_map.hpp:493-499); bias deltas derive from current vs
+    integration-time biases."""
+    W = xs.p.shape[0]
+    dtype = xs.p.dtype
+    x1 = jax.tree.map(lambda a: a[:-1], xs)
+    x2 = jax.tree.map(lambda a: a[1:], xs)
+    dbg = x1.bg - pres.bg0
+    dba = x1.ba - pres.ba0
+    ev = pre.evaluate(pres, dbg, dba, x1, x2)
+    n = W * DIM + (3 if with_gravity else 0)
+    H = jnp.zeros((n, n), dtype)
+    g = jnp.zeros((n,), dtype)
+    for j in range(W - 1):
+        o = j * DIM
+        H = H.at[o : o + 2 * DIM, o : o + 2 * DIM].add(ev.jtj[j][:30, :30])
+        g = g.at[o : o + 2 * DIM].add(ev.gg[j][:30])
+        if with_gravity:
+            gcol = W * DIM
+            H = H.at[o : o + 2 * DIM, gcol : gcol + 3].add(
+                ev.jtj_g[j][:30, 30:33]
+            )
+            H = H.at[gcol : gcol + 3, o : o + 2 * DIM].add(
+                ev.jtj_g[j][30:33, :30]
+            )
+            H = H.at[gcol : gcol + 3, gcol : gcol + 3].add(
+                ev.jtj_g[j][30:33, 30:33]
+            )
+            g = g.at[gcol : gcol + 3].add(ev.gg_g[j][30:33])
+    chi2 = jnp.sum(ev.chi2)
+    return H, g, chi2
+
+
+def _imu_residual(xs: NavState, pres: pre.Preint):
+    x1 = jax.tree.map(lambda a: a[:-1], xs)
+    x2 = jax.tree.map(lambda a: a[1:], xs)
+    dbg = x1.bg - pres.bg0
+    dba = x1.ba - pres.ba0
+    return jnp.sum(pre.evaluate_residual(pres, dbg, dba, x1, x2))
+
+
+def _apply_dx15(xs: NavState, dx: jnp.ndarray, dg: jnp.ndarray | None):
+    """Boxplus per window state; optionally shift the shared gravity
+    (LI_BA_OptimizerGravity update, voxel_map.hpp:813-822)."""
+    x = xs._replace(
+        R=xs.R @ so3.exp(dx[:, 0:3]),
+        p=xs.p + dx[:, 3:6],
+        v=xs.v + dx[:, 6:9],
+        bg=xs.bg + dx[:, 9:12],
+        ba=xs.ba + dx[:, 12:15],
+    )
+    if dg is not None:
+        x = x._replace(g=xs.g + dg[None, :])
+    return x
+
+
+def li_ba(
+    xs: NavState,
+    factors: lf.LidarFactors,
+    pres: pre.Preint,
+    imu_coef: float = 1e-4,
+    max_iter: int = 3,
+    with_gravity: bool = False,
+    u_init=0.01,
+) -> BAResult:
+    """LiDAR-inertial LM (LI_BA_Optimizer::damping_iter,
+    voxel_map.hpp:562-653; gravity variant 775-864).
+
+    Total cost = Σ coe·λ0 + ½·imu_coef·Σ χ²_imu; the LiDAR part
+    contributes 6×6 blocks at DIM strides (hess_plus, 455-463)."""
+    W = xs.p.shape[0]
+    dtype = xs.p.dtype
+    n = W * DIM + (3 if with_gravity else 0)
+
+    def total_residual(x):
+        rl, _ = lf.evaluate_residual(factors, x.R, x.p)
+        ri = _imu_residual(x, pres)
+        return rl + 0.5 * imu_coef * ri
+
+    def assemble(x):
+        rl, cache = lf.evaluate_residual(factors, x.R, x.p)
+        _, g6, H6 = lf.evaluate_hess(factors, cache, x.R, x.p)
+        Hi, gi, chi2 = _imu_system(x, pres, with_gravity)
+        H = imu_coef * Hi
+        g = imu_coef * gi
+        # scatter 6×6 lidar blocks at DIM strides
+        pad = DIM - 6
+        Hl = jnp.pad(H6, ((0, 0), (0, 0), (0, pad), (0, pad)))
+        Hl = Hl.transpose(0, 2, 1, 3).reshape(W * DIM, W * DIM)
+        H = H.at[: W * DIM, : W * DIM].add(Hl)
+        gl = jnp.pad(g6, ((0, 0), (0, pad))).reshape(W * DIM)
+        g = g.at[: W * DIM].add(gl)
+        res = rl + 0.5 * imu_coef * chi2
+        return res, H, g
+
+    res0 = total_residual(xs)
+
+    def body(i, carry):
+        x, u, v, res_last, done, Hsave = carry
+        res1, H, g = assemble(x)
+        dxi, q1 = _solve_damped(H, g, u, DIM)
+        dx = dxi[: W * DIM].reshape(W, DIM)
+        dg = dxi[W * DIM :] if with_gravity else None
+        x_new = _apply_dx15(x, dx, dg)
+        res2 = total_residual(x_new)
+        q = res1 - res2
+        accept = (q > 0.0) & ~done
+        u, v = _lm_damping(u, v, q > 0.0, q, q1)
+        x = jax.tree.map(lambda a, b: jnp.where(accept, a, b), x_new, x)
+        conv = jnp.abs(q / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
+        return (
+            x, u, v, jnp.where(accept, res2, res1), done | conv,
+            jnp.where(done, Hsave, H),
+        )
+
+    init = (
+        xs, jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
+        res0, jnp.asarray(False), jnp.zeros((n, n), dtype),
+    )
+    x, u, v, res_last, done, H = jax.lax.fori_loop(0, max_iter, body, init)
+    return BAResult(x, H, res0, res_last, done)

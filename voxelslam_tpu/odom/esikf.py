@@ -1,0 +1,105 @@
+"""Iterated ESIKF point-to-plane measurement update.
+
+TPU-native counterpart of the reference's `lio_state_estimation`
+(voxelslam.cpp:856-958): the per-point octree descent + 6x6 normal
+equation accumulation becomes one vectorized voxel-map match plus a
+masked reduction, and the iterated Kalman step
+
+    K₁ = (HᵀR⁻¹H + P⁻¹)⁻¹
+    δ  = K₁ HᵀR⁻¹z + (x_prop ⊟ x) − K₁ HᵀR⁻¹H (x_prop ⊟ x)[0:6]
+
+runs a fixed number of iterations inside `lax.fori_loop` (the
+reference's early-exit saves CPU only; on TPU the fixed loop is
+cheaper than dynamic control flow).
+
+Degeneracy detection follows voxelslam.cpp:950-957: the smallest
+eigenvalue of Σ n nᵀ over matched plane normals below 14 marks a
+degenerate scan (the odometry layer counts these toward a session
+reset, SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3, state
+from ..core.state import DIM, NavState
+from ..map import voxelmap
+from ..map.voxelmap import MapParams, VoxelMap
+from ..ops import eigh3
+
+
+class EsikfResult(NamedTuple):
+    x: NavState
+    degenerate: jnp.ndarray  # () bool
+    match_count: jnp.ndarray  # () int32
+    nnt_min_eig: jnp.ndarray  # ()
+
+
+def update(
+    x_prop: NavState,
+    vmap: VoxelMap,
+    pts_b: jnp.ndarray,  # (N, 3) body-frame (IMU) points
+    var_b: jnp.ndarray,  # (N, 3, 3) body-frame covariances
+    mask: jnp.ndarray,  # (N,)
+    params: MapParams,
+    num_iter: int = 4,
+    meas_floor: float = 0.0005,
+    degen_thresh: float = 14.0,
+) -> EsikfResult:
+    dtype = pts_b.dtype
+    cov_inv = jnp.linalg.inv(x_prop.cov)
+    ph = so3.hat(pts_b)  # (N, 3, 3)
+
+    def accumulate(x):
+        rot_var = x.cov[0:3, 0:3]
+        tsl_var = x.cov[3:6, 3:6]
+        var_world = (
+            jnp.einsum("ij,njk,lk->nil", x.R, var_b, x.R)
+            + ph @ rot_var @ jnp.swapaxes(ph, -1, -2)
+            + tsl_var
+        )
+        wld = pts_b @ x.R.T + x.p
+        m = voxelmap.match(vmap, wld, var_world, mask, params)
+        r_inv = jnp.where(m.valid, 1.0 / (meas_floor + m.sigma), 0.0)
+        # jac wrt [dθ, dp]: [phat Rᵀ n ; n]
+        jrot = jnp.einsum("nij,jk,nk->ni", ph, x.R.T, m.normal)
+        jac = jnp.concatenate([jrot, m.normal], axis=-1)  # (N, 6)
+        HTH = jnp.einsum("n,ni,nj->ij", r_inv, jac, jac)
+        HTz = -jnp.einsum("n,ni,n->i", r_inv, jac, m.dist)
+        nnt = jnp.einsum("n,ni,nj->ij", m.valid.astype(dtype), m.normal, m.normal)
+        return HTH, HTz, nnt, jnp.sum(m.valid)
+
+    def kalman_delta(x, HTH, HTz):
+        H_full = jnp.zeros((DIM, DIM), dtype).at[0:6, 0:6].set(HTH)
+        K1 = jnp.linalg.inv(H_full + cov_inv)
+        G6 = K1[:, 0:6] @ HTH  # (DIM, 6)
+        vec = state.boxminus(x_prop, x)
+        sol = K1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
+        return sol, G6
+
+    def body(_, carry):
+        x, _, _, _ = carry
+        HTH, HTz, nnt, cnt = accumulate(x)
+        sol, G6 = kalman_delta(x, HTH, HTz)
+        x = state.boxplus(x, sol)
+        return x, G6, nnt, cnt
+
+    init = (
+        x_prop,
+        jnp.zeros((DIM, 6), dtype),
+        jnp.zeros((3, 3), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    x, G6, nnt, cnt = jax.lax.fori_loop(0, num_iter, body, init)
+
+    # posterior covariance (I − G) P with G embedded (voxelslam.cpp:943)
+    G = jnp.zeros((DIM, DIM), dtype).at[:, 0:6].set(G6)
+    cov = (jnp.eye(DIM, dtype=dtype) - G) @ x_prop.cov
+    x = x._replace(cov=cov)
+
+    evals = eigh3.eigvals3(nnt)
+    return EsikfResult(x, evals[0] < degen_thresh, cnt, evals[0])

@@ -1,0 +1,110 @@
+"""Device voxel-grid downsampling with static output shapes.
+
+Counterparts of the reference's hash-map downsamplers
+(`down_sampling_voxel` centroid average, tools.hpp:201-238, and
+`down_sampling_close` nearest-real-point, tools.hpp:240-302) as
+sort + segment-reduce over padded point arrays — the idiomatic XLA
+shape: a single key sort, then scatter-adds into a fixed number of
+output segments.
+
+Outputs are padded to a static M with a validity mask; when the scan
+has more occupied voxels than M the surplus segments are dropped
+(hash-ordered, i.e. spatially random — diagnosable via `n_voxels`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import hashing
+
+
+class Downsampled(NamedTuple):
+    pts: jnp.ndarray  # (M, 3)
+    mask: jnp.ndarray  # (M,)
+    n_voxels: jnp.ndarray  # () true number of occupied voxels
+    aux: jnp.ndarray | None  # (M, A) carried attributes (close variant)
+
+
+def _segments(pts, mask, voxel_size):
+    """Sort points by voxel hash; return per-point segment ids (sorted
+    order), the sort permutation, and segment count."""
+    coord = hashing.voxel_coord(pts, voxel_size)
+    key = hashing.mix(coord, jnp.int32(0))
+    # push invalid points to the end
+    key = jnp.where(mask, key, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    key_s = key[order]
+    coord_s = coord[order]
+    mask_s = mask[order]
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (key_s[1:] != key_s[:-1])
+            | jnp.any(coord_s[1:] != coord_s[:-1], axis=-1),
+        ]
+    )
+    new_seg = new_seg & mask_s
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg_id = jnp.where(mask_s, seg_id, -1)
+    return order, seg_id, mask_s, jnp.max(seg_id) + 1
+
+
+def voxel_average(
+    pts: jnp.ndarray, mask: jnp.ndarray, voxel_size, m_out: int
+) -> Downsampled:
+    """Centroid per voxel (down_sampling_voxel semantics)."""
+    order, seg_id, mask_s, n_seg = _segments(pts, mask, voxel_size)
+    pts_s = pts[order]
+    dst = jnp.where((seg_id >= 0) & (seg_id < m_out), seg_id, m_out)
+    sums = jnp.zeros((m_out, 3), pts.dtype).at[dst].add(
+        jnp.where(mask_s[:, None], pts_s, 0.0), mode="drop"
+    )
+    cnts = jnp.zeros((m_out,), pts.dtype).at[dst].add(
+        mask_s.astype(pts.dtype), mode="drop"
+    )
+    out_mask = cnts > 0
+    out = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return Downsampled(out, out_mask, n_seg, None)
+
+
+def voxel_closest(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    voxel_size,
+    m_out: int,
+    aux: jnp.ndarray | None = None,
+) -> Downsampled:
+    """Keep the real point nearest each voxel's centroid
+    (down_sampling_close semantics — preserves true measurements and
+    their timestamps, used by initialization's re-deskew stash,
+    voxelslam.cpp:1263-1276).  `aux` (N, A) rides along."""
+    order, seg_id, mask_s, n_seg = _segments(pts, mask, voxel_size)
+    pts_s = pts[order]
+    dst = jnp.where((seg_id >= 0) & (seg_id < m_out), seg_id, m_out)
+    sums = jnp.zeros((m_out, 3), pts.dtype).at[dst].add(
+        jnp.where(mask_s[:, None], pts_s, 0.0), mode="drop"
+    )
+    cnts = jnp.zeros((m_out,), pts.dtype).at[dst].add(
+        mask_s.astype(pts.dtype), mode="drop"
+    )
+    centroid = sums / jnp.maximum(cnts, 1.0)[:, None]
+    d2 = jnp.sum((pts_s - centroid[jnp.clip(dst, 0, m_out - 1)]) ** 2, axis=-1)
+    d2 = jnp.where(mask_s, d2, jnp.inf)
+    best = jnp.full((m_out,), jnp.inf, pts.dtype).at[dst].min(d2, mode="drop")
+    # claim: among points matching the segment min distance, lowest index wins
+    is_best = mask_s & (d2 <= best[jnp.clip(dst, 0, m_out - 1)])
+    idx = jnp.arange(pts.shape[0], dtype=jnp.int32)
+    winner = jnp.full((m_out,), 2**31 - 1, jnp.int32).at[
+        jnp.where(is_best, dst, m_out)
+    ].min(idx, mode="drop")
+    out_mask = cnts > 0
+    sel = jnp.clip(winner, 0, pts.shape[0] - 1)
+    out = jnp.where(out_mask[:, None], pts_s[sel], 0.0)
+    aux_out = None
+    if aux is not None:
+        aux_s = aux[order]
+        aux_out = jnp.where(out_mask[:, None], aux_s[sel], 0.0)
+    return Downsampled(out, out_mask, n_seg, aux_out)
