@@ -1,0 +1,82 @@
+"""End-to-end odometry + local BA on a synthetic world.
+
+The TPU-native replacement for the reference's rosbag-replay
+validation (SURVEY.md §4): a known trajectory through a plane world,
+full pipeline (IMU init → fill → dynamic init with gravity alignment →
+steady odometry/BA), scored as ATE against ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelslam_tpu.core import synthetic
+from voxelslam_tpu.core.config import Config, GeneralCfg, LocalBACfg, OdometryCfg, Shapes
+from voxelslam_tpu.slam import SlamFrontend
+
+
+def small_config() -> Config:
+    return Config(
+        general=GeneralCfg(imu_topic="/synthetic/imu"),
+        odometry=OdometryCfg(
+            cov_gyr=0.01, cov_acc=0.1, down_size=0.25, voxel_size=1.0,
+            min_eigen_value=0.01,
+        ),
+        local_ba=LocalBACfg(win_size=5, plane_eigen_value_thre=(4.0,) * 4),
+        shapes=Shapes(
+            max_raw_points=1024,
+            max_points=1024,
+            max_imu=32,
+            hash_capacity=1 << 14,
+            max_ba_voxels=512,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_data():
+    traj = synthetic.Trajectory(
+        amp=np.array([1.2, 0.9, 0.2]),
+        ramp=1.5,
+        t_start=1.0,
+    )
+    dirs = synthetic.lidar_dirs(n_lines=16, n_cols=64)
+    return traj, synthetic.simulate(
+        n_scans=25, traj=traj, dirs=dirs, t0=0.5, seed=7,
+    )
+
+
+class TestEndToEnd:
+    def test_trajectory_ate(self, synth_data):
+        traj, data = synth_data
+        fe = SlamFrontend(small_config())
+        fe.run_synthetic(data)
+        assert fe.phase == "STEADY", f"pipeline stuck in {fe.phase}"
+        assert fe.session == 0, "unexpected session reset"
+
+        ts, Rs, ps = fe.trajectory()
+        # compare the steady-state tail (after init convergence)
+        errs = []
+        for i in range(len(ts)):
+            if ts[i] < data.gt_t[0]:
+                continue
+            j = int(np.argmin(np.abs(data.gt_t - ts[i])))
+            errs.append(np.linalg.norm(ps[i] - data.gt_p[j]))
+        errs = np.array(errs)
+        n_tail = max(len(errs) // 2, 1)
+        ate_tail = np.sqrt(np.mean(errs[-n_tail:] ** 2))
+        assert np.isfinite(errs).all()
+        # coarse LiDAR (1024 rays) + f32: sub-decimeter on a room scale
+        assert ate_tail < 0.15, f"ATE tail {ate_tail:.3f} m, errs={errs}"
+
+    def test_outputs_flow(self, synth_data):
+        traj, data = synth_data
+        fe = SlamFrontend(small_config())
+        fe.run_synthetic(data)
+        # ScanPose exports exist for the loop-closure layer
+        assert len(fe.scan_poses) > 3
+        sp = fe.scan_poses[-1]
+        assert np.isfinite(sp["v6"]).all()
+        assert (sp["v6"] > 0).all()
+        # matches found on every steady scan
+        steady = [r for r in fe.records if r.match_count > 0]
+        assert len(steady) >= 5

@@ -74,10 +74,23 @@ def _so3_exp(w):
     return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
 
 
+def _smootherstep(s):
+    """Quintic C² ramp on [0, 1]."""
+    s = np.clip(s, 0.0, 1.0)
+    return s * s * s * (s * (6.0 * s - 15.0) + 10.0)
+
+
 @dataclass
 class Trajectory:
-    """Analytic trajectory: p(t) sinusoidal, yaw(t) sinusoidal.
-    Derivatives are exact so IMU synthesis is noise-free by default."""
+    """Smoothly ramped sinusoidal trajectory.
+
+    Motion amplitude rises with a C² smootherstep over `ramp` seconds,
+    so the IMU-static-initialization window (t ≲ 0) is genuinely quiet
+    while later motion is aggressive.  `pos`/`rot` are closed form;
+    `vel`/`acc`/`omega_body` come from high-order central differences
+    of them (f64, step 1e-5 ⇒ ~1e-10 accuracy — far below any test
+    tolerance), so any trajectory shape stays consistent by
+    construction."""
 
     amp: np.ndarray = field(default_factory=lambda: np.array([2.0, 1.5, 0.3]))
     freq: np.ndarray = field(default_factory=lambda: np.array([0.11, 0.17, 0.23]))
@@ -85,42 +98,47 @@ class Trajectory:
     yaw_freq: float = 0.13
     pitch_amp: float = 0.15
     pitch_freq: float = 0.19
+    ramp: float = 0.0  # seconds of smooth spin-up (0 = always moving)
+    t_start: float = 0.0  # motion is exactly zero before t_start
+
+    def _r(self, t):
+        if self.ramp <= 0:
+            return 1.0 if self.t_start <= 0 else float(t >= self.t_start)
+        return _smootherstep((t - self.t_start) / self.ramp)
 
     def pos(self, t):
         w = 2 * np.pi * self.freq
-        return self.amp * np.sin(w * t)
-
-    def vel(self, t):
-        w = 2 * np.pi * self.freq
-        return self.amp * w * np.cos(w * t)
-
-    def acc(self, t):
-        w = 2 * np.pi * self.freq
-        return -self.amp * w * w * np.sin(w * t)
+        return self.amp * np.sin(w * t) * self._r(t)
 
     def _angles(self, t):
         wy = 2 * np.pi * self.yaw_freq
         wp = 2 * np.pi * self.pitch_freq
-        yaw = self.yaw_amp * np.sin(wy * t)
-        pitch = self.pitch_amp * np.sin(wp * t)
-        dyaw = self.yaw_amp * wy * np.cos(wy * t)
-        dpitch = self.pitch_amp * wp * np.cos(wp * t)
-        return yaw, pitch, dyaw, dpitch
+        r = self._r(t)
+        return self.yaw_amp * np.sin(wy * t) * r, self.pitch_amp * np.sin(wp * t) * r
 
     def rot(self, t):
-        yaw, pitch, _, _ = self._angles(t)
+        yaw, pitch = self._angles(t)
         Rz = _so3_exp(np.array([0, 0, yaw]))
         Ry = _so3_exp(np.array([0, pitch, 0]))
         return Rz @ Ry
 
+    _H = 1e-5
+
+    def vel(self, t):
+        h = self._H
+        return (self.pos(t + h) - self.pos(t - h)) / (2 * h)
+
+    def acc(self, t):
+        h = self._H
+        return (self.pos(t + h) - 2 * self.pos(t) + self.pos(t - h)) / (h * h)
+
     def omega_body(self, t):
-        """Body angular velocity (exact for the Rz(yaw)Ry(pitch) chain)."""
-        yaw, pitch, dyaw, dpitch = self._angles(t)
-        Ry = _so3_exp(np.array([0, pitch, 0]))
-        # w_world = dyaw * ez ; then pitch about the rotated y axis.
-        # w_body = Ryᵀ (Rzᵀ (dyaw ez)) + dpitch * ey
-        w_b = Ry.T @ np.array([0, 0, dyaw]) + np.array([0, dpitch, 0])
-        return w_b
+        """ω_body from Rᵀ Ṙ = hat(ω)."""
+        h = self._H
+        R = self.rot(t)
+        dR = (self.rot(t + h) - self.rot(t - h)) / (2 * h)
+        Om = R.T @ dR
+        return np.array([Om[2, 1], Om[0, 2], Om[1, 0]])
 
 
 # ---------------------------------------------------------------- raycast
@@ -207,7 +225,7 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
 
     dt_scan = 1.0 / scan_hz
     # IMU stream covering [t0 - dt, t_end + dt]
-    t_imu0 = t0 - 0.2
+    t_imu0 = t0 - 0.45
     t_end_all = t0 + n_scans * dt_scan + 0.05
     imu_t = np.arange(t_imu0, t_end_all, 1.0 / imu_hz)
     imu_gyr = np.stack([traj.omega_body(t) for t in imu_t]) + bg

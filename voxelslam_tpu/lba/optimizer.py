@@ -193,20 +193,35 @@ def li_ba(
     max_iter: int = 3,
     with_gravity: bool = False,
     u_init=0.01,
+    g_norm_prior: jnp.ndarray | None = None,
+    g_prior_weight: float = 1000.0,
 ) -> BAResult:
     """LiDAR-inertial LM (LI_BA_Optimizer::damping_iter,
     voxel_map.hpp:562-653; gravity variant 775-864).
 
     Total cost = Σ coe·λ0 + ½·imu_coef·Σ χ²_imu; the LiDAR part
-    contributes 6×6 blocks at DIM strides (hess_plus, 455-463)."""
+    contributes 6×6 blocks at DIM strides (hess_plus, 455-463).
+
+    `g_norm_prior` (gravity variant only) adds ½·w·(‖g‖ − n₀)²: the
+    gravity *magnitude* is weakly observable in low-excitation windows
+    (a static init would otherwise let LM wander along the g↔v flat
+    direction), while its direction is what the BA must refine."""
     W = xs.p.shape[0]
     dtype = xs.p.dtype
     n = W * DIM + (3 if with_gravity else 0)
+    use_gprior = with_gravity and g_norm_prior is not None
+
+    def g_prior_cost(x):
+        gn = jnp.linalg.norm(x.g[0])
+        return 0.5 * g_prior_weight * (gn - g_norm_prior) ** 2
 
     def total_residual(x):
         rl, _ = lf.evaluate_residual(factors, x.R, x.p)
         ri = _imu_residual(x, pres)
-        return rl + 0.5 * imu_coef * ri
+        r = rl + 0.5 * imu_coef * ri
+        if use_gprior:
+            r = r + g_prior_cost(x)
+        return r
 
     def assemble(x):
         rl, cache = lf.evaluate_residual(factors, x.R, x.p)
@@ -214,6 +229,18 @@ def li_ba(
         Hi, gi, chi2 = _imu_system(x, pres, with_gravity)
         H = imu_coef * Hi
         g = imu_coef * gi
+        if use_gprior:
+            gv = x.g[0]
+            gn = jnp.linalg.norm(gv)
+            ghat = gv / jnp.maximum(gn, 1e-9)
+            col = W * DIM
+            H = H.at[col : col + 3, col : col + 3].add(
+                g_prior_weight * ghat[:, None] * ghat[None, :]
+            )
+            g = g.at[col : col + 3].add(
+                g_prior_weight * (gn - g_norm_prior) * ghat
+            )
+            rl = rl + g_prior_cost(x)
         # scatter 6×6 lidar blocks at DIM strides
         pad = DIM - 6
         Hl = jnp.pad(H6, ((0, 0), (0, 0), (0, pad), (0, pad)))

@@ -1,0 +1,374 @@
+"""Odometry + local-mapping pipeline: the per-scan hot path.
+
+TPU-native counterpart of `thd_odometry_localmapping`
+(voxelslam.cpp:1456-1738).  The whole per-scan computation —
+
+  IMU propagate + deskew → voxel downsample → iterated ESIKF update →
+  window push → map scatter → plane refit → BA factor harvest →
+  LiDAR-inertial LM → marginalize oldest scan → window slide
+
+— is ONE jitted device program (`steady_step`); the host only feeds
+padded scan batches and drains pose outputs.  A second jitted program
+(`fill_step`) grows the window during startup, and `init_refine` is
+the dynamic initialization: gravity-refining BA over the first window
+plus world gravity alignment (motion_init, voxelslam.cpp:563-713).
+
+Degeneracy detection and the session-reset escalation
+(voxelslam.cpp:1618-1634) are surfaced to the host through the step
+outputs; the host-side runner (pipeline driver) decides resets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3, state
+from ..core.state import DIM, NavState
+from ..imu import preintegration as pre
+from ..imu import propagation as prop
+from ..lba import lidar_factor as lf
+from ..lba import optimizer as opt
+from ..map import voxelmap
+from ..map.voxelmap import MapParams, VoxelMap
+from ..ops import downsample
+from . import esikf, noise
+
+
+class PipelineParams(NamedTuple):
+    """Static (hashable) pipeline configuration."""
+
+    map_params: MapParams
+    win_size: int = 10
+    n_raw: int = 8192  # padded raw points per scan
+    n_ds: int = 2048  # padded downsampled points
+    n_imu: int = 32  # padded IMU intervals per scan
+    max_ba_voxels: int = 2048
+    down_size: float = 0.1
+    min_ds_points: int = 500  # fallback-to-finer-leaf bound (voxelslam.cpp:1577)
+    dept_err: float = 0.02
+    beam_err: float = 0.05
+    imu_coef: float = 1e-4
+    scatter_passes: int = 2
+    num_esikf_iter: int = 4
+    degen_thresh: float = 14.0
+    ba_max_iter: int = 3
+
+
+class WindowState(NamedTuple):
+    pts: jnp.ndarray  # (W, N, 3) body-frame downsampled points
+    var: jnp.ndarray  # (W, N, 3, 3) world covariances (as pushed)
+    mask: jnp.ndarray  # (W, N)
+    xs: NavState  # stacked window states (leading dim W)
+    pres: pre.Preint  # stacked (W-1) preintegration factors
+
+
+class Carry(NamedTuple):
+    x: NavState
+    vmap: VoxelMap
+    win: WindowState
+    win_count: jnp.ndarray  # () int32
+    jour: jnp.ndarray  # () travel distance stamp
+    last_pos: jnp.ndarray  # (3,)
+
+
+class ScanInputs(NamedTuple):
+    pts: jnp.ndarray  # (n_raw, 3) LiDAR-frame raw points
+    offsets: jnp.ndarray  # (n_raw,) per-point time offsets (s)
+    mask: jnp.ndarray  # (n_raw,)
+    imu: prop.ImuBatch  # padded IMU intervals
+    dt_ext: jnp.ndarray  # () end extrapolation
+    t_end: jnp.ndarray  # ()
+
+
+class StepOutputs(NamedTuple):
+    x: NavState  # posterior scan-end state
+    degenerate: jnp.ndarray
+    match_count: jnp.ndarray
+    n_factors: jnp.ndarray
+    ba_resid: jnp.ndarray
+    # marginalized ScanPose export to the loop-closure layer
+    scan_pose: NavState
+    scan_v6: jnp.ndarray  # (6,) odometry edge noise (voxelslam.cpp:1656-1658)
+    overflow: jnp.ndarray
+
+
+def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
+                     dtype=jnp.float32) -> Carry:
+    W, N = pp.win_size, pp.n_ds
+    x = state.identity(dtype)
+    xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape).copy(), x)
+    pres = pre.identity((W - 1,), dtype)
+    win = WindowState(
+        pts=jnp.zeros((W, N, 3), dtype),
+        var=jnp.zeros((W, N, 3, 3), dtype),
+        mask=jnp.zeros((W, N), bool),
+        xs=xs,
+        pres=pres,
+    )
+    return Carry(
+        x=x,
+        vmap=voxelmap.empty(pp.map_params, W, dtype),
+        win=win,
+        win_count=jnp.zeros((), jnp.int32),
+        jour=jnp.zeros((), dtype),
+        last_pos=jnp.zeros((3,), dtype),
+    )
+
+
+# ------------------------------------------------------------ shared pieces
+
+def _front_end(carry: Carry, inp: ScanInputs, pp: PipelineParams,
+               imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity,
+               prior_deweight=1.0):
+    """Propagate → deskew → downsample → ESIKF → world-var inflation.
+    Returns (x_post, pts_b, var_b, var_w, ds_mask, esikf result, preint).
+    """
+    x_prop, poses = prop.propagate(
+        carry.x, inp.imu, imu_noise, inp.dt_ext, scale_gravity, inp.t_end
+    )
+    desk = prop.deskew(inp.pts, inp.offsets, inp.mask, poses, x_prop,
+                       ext_R, ext_t)
+
+    ds = downsample.voxel_average(desk, inp.mask, pp.down_size, pp.n_ds)
+    # adaptive fallback: halve the leaf if too few points (1577-1581)
+    n_found = jnp.sum(ds.mask)
+
+    def finer(_):
+        return downsample.voxel_average(
+            desk, inp.mask, pp.down_size / 2, pp.n_ds
+        )
+
+    ds = jax.lax.cond(n_found < pp.min_ds_points, finer, lambda _: ds, None)
+
+    var_l = noise.body_var(ds.pts, pp.dept_err, pp.beam_err)
+    pts_b, var_b = noise.to_body_frame(ds.pts, var_l, ext_R, ext_t)
+
+    x_prior = x_prop._replace(cov=x_prop.cov * prior_deweight)
+    res = esikf.update(
+        x_prior, carry.vmap, pts_b, var_b, ds.mask, pp.map_params,
+        num_iter=pp.num_esikf_iter, degen_thresh=pp.degen_thresh,
+    )
+    x_post = res.x
+
+    var_w = noise.world_var(pts_b, var_b, x_post)
+
+    # preintegration for the (prev scan, this scan) factor, using the
+    # previous scan's posterior biases (voxelslam.cpp:1604-1605)
+    nm = jnp.zeros((6, 6), pts_b.dtype)
+    nm = nm.at[0:3, 0:3].set(jnp.diag(imu_noise.cov_gyr))
+    nm = nm.at[3:6, 3:6].set(jnp.diag(imu_noise.cov_acc))
+    nw = jnp.zeros((6, 6), pts_b.dtype)
+    nw = nw.at[0:3, 0:3].set(jnp.diag(imu_noise.cov_bias_gyr))
+    nw = nw.at[3:6, 3:6].set(jnp.diag(imu_noise.cov_bias_acc))
+    preint = pre.integrate(
+        carry.x.bg, carry.x.ba, inp.imu.dt, inp.imu.gyr, inp.imu.acc,
+        inp.imu.valid, nm, nw, scale_gravity,
+    )
+    return x_post, pts_b, var_b, var_w, ds.mask, res, preint
+
+
+def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
+    """Scatter all window points + plane refit, `scatter_passes` times
+    so fresh subdivisions re-route within the same scan (multi_recut,
+    voxelslam.cpp:1398-1453)."""
+    overflow = jnp.zeros((), jnp.int32)
+    scratch = None
+    for _ in range(pp.scatter_passes):
+        vmap, scratch, ovf = voxelmap.scatter(
+            vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
+            pp.map_params,
+        )
+        vmap = voxelmap.recut(vmap, scratch, pp.map_params)
+        overflow = overflow + ovf
+    return vmap, scratch, overflow
+
+
+def _push_window(win: WindowState, idx, pts_b, var_w, mask, x_post, preint):
+    """Write scan data into window slot `idx` (dynamic)."""
+    win = win._replace(
+        pts=jax.lax.dynamic_update_index_in_dim(win.pts, pts_b, idx, 0),
+        var=jax.lax.dynamic_update_index_in_dim(win.var, var_w, idx, 0),
+        mask=jax.lax.dynamic_update_index_in_dim(win.mask, mask, idx, 0),
+        xs=jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_index_in_dim(buf, v, idx, 0),
+            win.xs, x_post,
+        ),
+        pres=jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_index_in_dim(
+                buf, v, jnp.maximum(idx - 1, 0), 0
+            ),
+            win.pres, preint,
+        ),
+    )
+    return win
+
+
+def _slide_window(win: WindowState) -> WindowState:
+    """Drop the oldest scan (mgsize=1 slide, voxelslam.cpp:1689-1712):
+    roll every buffer left by one; the last slot is re-filled by the
+    next push."""
+    roll = lambda a: jnp.roll(a, -1, axis=0)
+    win = win._replace(
+        pts=roll(win.pts),
+        var=roll(win.var),
+        mask=win.mask.at[:-1].set(win.mask[1:]).at[-1].set(False),
+        xs=jax.tree.map(roll, win.xs),
+        pres=jax.tree.map(roll, win.pres),
+    )
+    return win
+
+
+# ------------------------------------------------------------------- steps
+
+@partial(jax.jit, static_argnames=("pp",))
+def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
+              imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity):
+    """Startup scan: front-end + push + map update, no BA/margi/slide
+    (initialization accumulation, voxelslam.cpp:1230-1288)."""
+    x_post, pts_b, var_b, var_w, mask, res, preint = _front_end(
+        carry, inp, pp, imu_noise, ext_R, ext_t, scale_gravity,
+        prior_deweight=1.0,
+    )
+    win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
+                       x_post, preint)
+    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
+    carry = carry._replace(
+        x=x_post, vmap=vmap, win=win, win_count=carry.win_count + 1
+    )
+    out = StepOutputs(
+        x=x_post, degenerate=res.degenerate, match_count=res.match_count,
+        n_factors=jnp.zeros((), jnp.int32), ba_resid=jnp.zeros(()),
+        scan_pose=x_post, scan_v6=jnp.zeros((6,)), overflow=ovf,
+    )
+    return carry, out
+
+
+@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
+                imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity,
+                with_gravity: bool = False):
+    """Full per-scan hot path (steady state, window full)."""
+    W = pp.win_size
+    x_post, pts_b, var_b, var_w, mask, res, preint = _front_end(
+        carry, inp, pp, imu_noise, ext_R, ext_t, scale_gravity
+    )
+    win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
+                       x_post, preint)
+    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
+
+    # ---- local BA over the window ----
+    factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
+    ba = opt.li_ba(
+        win.xs, factors, win.pres, imu_coef=pp.imu_coef,
+        max_iter=pp.ba_max_iter, with_gravity=with_gravity,
+    )
+    win = win._replace(xs=ba.xs)
+
+    # ---- export ScanPose of the marginalized scan + its edge noise ----
+    x0 = state.index(win.xs, 0)
+    v6 = ba.hess[0:6, DIM : DIM + 6].diagonal()
+    v6 = 1.0 / jnp.maximum(jnp.abs(v6), 1e-12)
+
+    # ---- marginalize oldest scan into fixed history ----
+    vmap = voxelmap.marginalize(
+        vmap, win.pts[0], win.var[0], x0.R, x0.p, win.mask[0], pp.map_params
+    )
+
+    # ---- slide ----
+    win = _slide_window(win)
+
+    # x_curr adopts the BA-refined latest pose (voxelslam.cpp:1663-1664)
+    x_last = state.index(win.xs, W - 2)  # last valid after slide
+    x_new = x_post._replace(R=x_last.R, p=x_last.p, g=x_last.g)
+
+    # travel bookkeeping (voxelslam.cpp:1672-1681)
+    spat = jnp.linalg.norm(x_new.p - carry.last_pos)
+    move = spat > 0.5
+    jour = jnp.where(move, carry.jour + spat, carry.jour)
+    last_pos = jnp.where(move, x_new.p, carry.last_pos)
+
+    carry = carry._replace(
+        x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos
+    )
+    out = StepOutputs(
+        x=x_new, degenerate=res.degenerate, match_count=res.match_count,
+        n_factors=jnp.sum(factors.valid), ba_resid=ba.resid1,
+        scan_pose=x0, scan_v6=v6, overflow=ovf,
+    )
+    return carry, out
+
+
+# -------------------------------------------------------- initialization
+
+@partial(jax.jit, static_argnames=("pp", "n_iter"))
+def init_refine(carry: Carry, pp: PipelineParams, n_iter: int = 3):
+    """Dynamic initialization over the filled window: iterate
+    (rebuild map → harvest → gravity-refining BA) then align the world
+    frame with gravity (motion_init + align_gravity,
+    voxelslam.cpp:461-486, 563-713).
+
+    Returns (carry', g_norm, min_normal_span) — the host checks
+    9.6 < ‖g‖ < 10.0 and the plane-span degeneracy bound
+    (voxelslam.cpp:651-677) and resets the session on failure.
+    """
+    win = carry.win
+
+    g_norm0 = jnp.linalg.norm(win.xs.g[0])
+
+    def one_iter(_, win):
+        vmap = voxelmap.empty(pp.map_params, pp.win_size)
+        vmap, scratch, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
+        factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
+        ba = opt.li_ba(
+            win.xs, factors, win.pres, imu_coef=pp.imu_coef,
+            max_iter=3, with_gravity=True, g_norm_prior=g_norm0,
+        )
+        return win._replace(xs=ba.xs)
+
+    win = jax.lax.fori_loop(0, n_iter, one_iter, win)
+
+    # ---- align gravity with -z, anchored at p0 ----
+    xs = win.xs
+    g = xs.g[0]
+    g_norm = jnp.linalg.norm(g)
+    a = g / jnp.maximum(g_norm, 1e-12)
+    b = jnp.array([0.0, 0.0, -1.0], g.dtype)
+    axis = jnp.cross(a, b)
+    s = jnp.linalg.norm(axis)
+    ang = jnp.arctan2(s, jnp.dot(a, b))
+    rotvec = jnp.where(
+        s > 1e-8, axis / jnp.maximum(s, 1e-12) * ang, jnp.zeros(3, g.dtype)
+    )
+    G = so3.exp(rotvec)
+    p0 = xs.p[0]
+    xs = xs._replace(
+        R=jnp.einsum("ij,wjk->wik", G, xs.R),
+        p=jnp.einsum("ij,wj->wi", G, xs.p - p0) + p0,
+        v=jnp.einsum("ij,wj->wi", G, xs.v),
+        g=jnp.broadcast_to(G @ g, xs.g.shape),
+    )
+    win = win._replace(xs=xs)
+
+    # rebuild the map once more under the aligned states
+    vmap = voxelmap.empty(pp.map_params, pp.win_size)
+    vmap, scratch, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
+
+    # plane-span degeneracy metric: min eig of Σ n nᵀ over plane voxels
+    nn = jnp.einsum(
+        "c,ci,cj->ij", vmap.plane_valid.astype(xs.p.dtype),
+        vmap.plane_n, vmap.plane_n,
+    )
+    from ..ops import eigh3 as _e3
+
+    span = _e3.eigvals3(nn)[0]
+
+    x = carry.x._replace(
+        R=xs.R[-1], p=xs.p[-1], v=xs.v[-1], bg=xs.bg[-1], ba=xs.ba[-1],
+        g=xs.g[-1],
+    )
+    carry = carry._replace(x=x, vmap=vmap, win=win)
+    return carry, g_norm, span

@@ -1,0 +1,259 @@
+"""Host-side SLAM front-end orchestrator.
+
+The thin driver around the jitted device programs of
+odom/pipeline.py — counterpart of the reference's odometry thread
+state machine (voxelslam.cpp:1456-1738) plus the IMU static-init gate
+(ekf_imu.hpp:167-214):
+
+  IMU_INIT  — accumulate ≥ min_init_num IMU samples, set gravity
+  FILL      — grow the sliding window scan by scan (no BA)
+  REFINE    — dynamic initialization: gravity BA + world alignment;
+              sanity checks 9.6 < ‖g‖ < 10 and plane-span degeneracy
+              (voxelslam.cpp:651-677) — failure resets the session
+  STEADY    — full odometry + local BA every scan
+
+The host never touches point math: it pads inputs, tracks timestamps,
+applies the reset policy (degrade_cnt > degrade_bound ⇒ new session,
+voxelslam.cpp:1618-1634), and drains outputs (trajectory, ScanPoses
+for the loop-closure layer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import state
+from .core.config import Config
+from .core.state import NavState
+from .imu import propagation as prop
+from .map.voxelmap import MapParams
+from .odom import pipeline as pl
+
+
+@dataclass
+class ScanRecord:
+    """One processed scan's outputs, host-side."""
+
+    t: float
+    R: np.ndarray
+    p: np.ndarray
+    degenerate: bool
+    match_count: int
+    session: int
+    # marginalized ScanPose (set once the window slides past it)
+    scan_pose: Optional[dict] = None
+
+
+@dataclass
+class SlamFrontend:
+    cfg: Config
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        c = self.cfg
+        sh = c.shapes
+        self.pp = pl.PipelineParams(
+            map_params=MapParams(
+                capacity=sh.hash_capacity,
+                max_probe=sh.max_probe,
+                voxel_size=c.odometry.voxel_size,
+                max_layer=c.local_ba.max_layer,
+                min_point=tuple(sh.min_point),
+                min_eigen_value=c.odometry.min_eigen_value,
+                plane_thre_inv=c.plane_thre_inv,
+                max_points=sh.map_max_points,
+            ),
+            win_size=c.local_ba.win_size,
+            n_raw=sh.max_raw_points,
+            n_ds=sh.max_points,
+            n_imu=sh.max_imu,
+            max_ba_voxels=sh.max_ba_voxels,
+            down_size=c.odometry.down_size,
+            dept_err=c.odometry.dept_err,
+            beam_err=c.odometry.beam_err,
+            imu_coef=c.local_ba.imu_coef,
+        )
+        self.imu_noise = prop.noise_from_cfg(
+            c.odometry.cov_gyr, c.odometry.cov_acc,
+            c.odometry.rdw_gyr, c.odometry.rdw_acc, self.dtype,
+        )
+        eR = np.asarray(c.general.extrinsic_rota, np.float32).reshape(3, 3)
+        et = np.asarray(c.general.extrinsic_tran, np.float32)
+        self.ext_R = jnp.asarray(eR, self.dtype)
+        self.ext_t = jnp.asarray(et, self.dtype)
+
+        self.carry = pl.make_empty_carry(self.pp, self.imu_noise, self.dtype)
+        self.phase = "IMU_INIT"
+        self.scale_gravity = jnp.asarray(1.0, self.dtype)
+        self._imu_acc_sum = np.zeros(3)
+        self._imu_gyr_sum = np.zeros(3)
+        self._imu_count = 0
+        self.min_init_num = 30
+        self.t_prev_end: Optional[float] = None
+        self.degrade_cnt = 0
+        self.session = 0
+        self.records: List[ScanRecord] = []
+        self.scan_poses: List[dict] = []  # exports for loop closure
+        self._t0: Optional[float] = None  # session time origin
+
+    # ------------------------------------------------------------- inputs
+
+    def _pack_scan(self, pts: np.ndarray, offsets: np.ndarray,
+                   t_begin: float, t_end: float,
+                   imu_t, imu_gyr, imu_acc) -> pl.ScanInputs:
+        n_raw = self.pp.n_raw
+        K = min(len(pts), n_raw)
+        P = np.zeros((n_raw, 3), np.float32)
+        O = np.zeros((n_raw,), np.float32)
+        M = np.zeros((n_raw,), bool)
+        P[:K] = pts[:K]
+        O[:K] = offsets[:K]
+        M[:K] = True
+        t_prev = self.t_prev_end if self.t_prev_end is not None else t_begin
+        dt, gyr, acc, offt, valid, dt_ext = prop.pack_imu_intervals(
+            imu_t, imu_gyr, imu_acc, t_prev, t_begin, t_end, self.pp.n_imu
+        )
+        imu = prop.ImuBatch(
+            jnp.asarray(dt), jnp.asarray(gyr), jnp.asarray(acc),
+            jnp.asarray(offt), jnp.asarray(valid),
+        )
+        t_rel = t_end - (self._t0 if self._t0 is not None else t_begin)
+        return pl.ScanInputs(
+            pts=jnp.asarray(P), offsets=jnp.asarray(O), mask=jnp.asarray(M),
+            imu=imu, dt_ext=jnp.asarray(dt_ext, self.dtype),
+            t_end=jnp.asarray(t_rel, self.dtype),
+        )
+
+    # ------------------------------------------------------------ process
+
+    def process_scan(self, pts: np.ndarray, offsets: np.ndarray,
+                     t_begin: float, t_end: float,
+                     imu_t: np.ndarray, imu_gyr: np.ndarray,
+                     imu_acc: np.ndarray) -> Optional[ScanRecord]:
+        """Feed one scan + the IMU stream (absolute times, host side).
+
+        Returns the scan's record once odometry runs (None during IMU
+        init)."""
+        if self._t0 is None:
+            self._t0 = t_begin
+
+        if self.phase == "IMU_INIT":
+            sel = (imu_t >= t_begin - 0.5) & (imu_t <= t_end)
+            self._imu_acc_sum += imu_acc[sel].sum(axis=0)
+            self._imu_gyr_sum += imu_gyr[sel].sum(axis=0)
+            self._imu_count += int(sel.sum())
+            self.t_prev_end = t_end
+            if self._imu_count > self.min_init_num:
+                mean_acc = self._imu_acc_sum / self._imu_count
+                is_livox = "livox" in self.cfg.general.imu_topic
+                g0, scale = prop.static_init_gravity(
+                    jnp.asarray(mean_acc, self.dtype), is_livox
+                )
+                self.scale_gravity = scale
+                self.carry = self.carry._replace(
+                    x=self.carry.x._replace(g=g0)
+                )
+                self.phase = "FILL"
+            return None
+
+        inp = self._pack_scan(pts, offsets, t_begin, t_end,
+                              imu_t, imu_gyr, imu_acc)
+        self.t_prev_end = t_end
+
+        if self.phase == "FILL":
+            self.carry, out = pl.fill_step(
+                self.carry, inp, self.pp, self.imu_noise,
+                self.ext_R, self.ext_t, self.scale_gravity,
+            )
+            if int(self.carry.win_count) >= self.pp.win_size:
+                self.carry, g_norm, span = pl.init_refine(self.carry, self.pp)
+                g_norm = float(g_norm)
+                if not (9.6 < g_norm < 10.0):
+                    self._reset(f"init gravity norm {g_norm:.3f} out of range")
+                    return None
+                self.phase = "STEADY"
+            rec = self._record(out, t_end)
+            return rec
+
+        # STEADY
+        self.carry, out = pl.steady_step(
+            self.carry, inp, self.pp, self.imu_noise,
+            self.ext_R, self.ext_t, self.scale_gravity,
+        )
+        rec = self._record(out, t_end)
+
+        if out.degenerate:
+            self.degrade_cnt += 1
+        elif self.degrade_cnt > 0:
+            self.degrade_cnt -= 1
+        if self.degrade_cnt > self.cfg.odometry.degrade_bound:
+            self._reset("degeneracy bound exceeded")
+            return rec
+
+        self.scan_poses.append(
+            dict(
+                t=float(out.scan_pose.t),
+                R=np.asarray(out.scan_pose.R),
+                p=np.asarray(out.scan_pose.p),
+                v=np.asarray(out.scan_pose.v),
+                bg=np.asarray(out.scan_pose.bg),
+                ba=np.asarray(out.scan_pose.ba),
+                g=np.asarray(out.scan_pose.g),
+                v6=np.asarray(out.scan_v6),
+                session=self.session,
+            )
+        )
+        return rec
+
+    def _record(self, out: pl.StepOutputs, t_end: float) -> ScanRecord:
+        rec = ScanRecord(
+            t=t_end,
+            R=np.asarray(out.x.R),
+            p=np.asarray(out.x.p),
+            degenerate=bool(out.degenerate),
+            match_count=int(out.match_count),
+            session=self.session,
+        )
+        self.records.append(rec)
+        return rec
+
+    def _reset(self, reason: str):
+        """system_reset (voxelslam.cpp:1290-1317): destroy the map,
+        restart a new session spatially offset so sessions never alias
+        (restart pose z+30)."""
+        print(f"[voxelslam-tpu] session reset: {reason}")
+        self.session += 1
+        self.degrade_cnt = 0
+        self.phase = "IMU_INIT"
+        self._imu_acc_sum[:] = 0
+        self._imu_gyr_sum[:] = 0
+        self._imu_count = 0
+        carry = pl.make_empty_carry(self.pp, self.imu_noise, self.dtype)
+        x = carry.x._replace(
+            p=jnp.asarray([0.0, 0.0, 30.0 * self.session], self.dtype)
+        )
+        self.carry = carry._replace(x=x)
+
+    # ----------------------------------------------------------- helpers
+
+    def run_synthetic(self, data) -> List[ScanRecord]:
+        recs = []
+        for sc in data.scans:
+            r = self.process_scan(
+                sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                data.imu_t, data.imu_gyr, data.imu_acc,
+            )
+            if r is not None:
+                recs.append(r)
+        return recs
+
+    def trajectory(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ts = np.array([r.t for r in self.records])
+        Rs = np.stack([r.R for r in self.records])
+        ps = np.stack([r.p for r in self.records])
+        return ts, Rs, ps
