@@ -1,0 +1,114 @@
+"""Benchmark: LiDAR scans/sec through the full odometry + local-BA
+scan step (the reference's hot loop, voxelslam.cpp:1456-1738) at
+production shapes on the available accelerator.
+
+Baseline: the reference runs the same loop in real time on a
+multicore CPU against 10 Hz LiDAR bags (BASELINE.md — no published
+numeric tables; real-time 10 scans/sec is its demonstrated rate), so
+vs_baseline = our_scans_per_sec / 10.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache (TPU compiles of the fused scan step are
+    # expensive; cache across runs)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from voxelslam_tpu.core import synthetic
+    from voxelslam_tpu.core.config import (
+        Config, GeneralCfg, LocalBACfg, OdometryCfg, Shapes,
+    )
+    from voxelslam_tpu.slam import SlamFrontend
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    # production-ish shapes: dense scan (28.8k rays), 10-scan window
+    cfg = Config(
+        general=GeneralCfg(imu_topic="/synthetic/imu"),
+        odometry=OdometryCfg(
+            cov_gyr=0.01, cov_acc=0.1, down_size=0.1, voxel_size=1.0,
+            min_eigen_value=0.005,
+        ),
+        local_ba=LocalBACfg(win_size=10),
+        shapes=Shapes(
+            max_raw_points=32768,
+            max_points=4096,
+            max_imu=64,
+            hash_capacity=1 << 17,
+            max_ba_voxels=4096,
+        ),
+    )
+
+    log("generating synthetic dataset...")
+    traj = synthetic.Trajectory(
+        amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
+    )
+    dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300)  # 28800 rays
+    n_scans = 40
+    data = synthetic.simulate(
+        n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
+        world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
+    )
+
+    fe = SlamFrontend(cfg)
+    # warmup: IMU init + fill + dynamic init + first steady steps
+    # (compiles fill_step, init_refine, steady_step)
+    warm = cfg.local_ba.win_size + 6
+    t_compile0 = time.time()
+    for sc in data.scans[:warm]:
+        fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                        data.imu_t, data.imu_gyr, data.imu_acc)
+    log(f"warmup+compile: {time.time() - t_compile0:.1f}s, phase={fe.phase}")
+    if fe.phase != "STEADY":
+        log("WARNING: pipeline not steady after warmup")
+
+    # timed steady-state scans
+    timed = data.scans[warm:]
+    import jax
+
+    t0 = time.time()
+    for sc in timed:
+        fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                        data.imu_t, data.imu_gyr, data.imu_acc)
+    jax.block_until_ready(fe.carry.x.p)
+    dt = time.time() - t0
+    sps = len(timed) / dt
+
+    # sanity: the result must be a real trajectory, not garbage
+    ts, Rs, ps = fe.trajectory()
+    errs = []
+    for i in range(len(ts)):
+        j = int(np.argmin(np.abs(data.gt_t - ts[i])))
+        errs.append(np.linalg.norm(ps[i] - data.gt_p[j]))
+    ate = float(np.sqrt(np.mean(np.array(errs) ** 2)))
+    log(f"{len(timed)} scans in {dt:.3f}s -> {sps:.2f} scans/s; ATE {ate:.4f} m")
+    if not np.isfinite(ate) or ate > 1.0:
+        log("WARNING: trajectory quality degraded; reporting anyway")
+
+    print(json.dumps({
+        "metric": "lidar_scans_per_sec_odom_lba",
+        "value": round(sps, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Per-stage timing of the scan step at production shapes on the TPU.
+
+Times each pipeline stage as its own jitted program to locate the
+bottleneck (run with the default axon env; one TPU process at a time).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, "/root/repo")
+
+from voxelslam_tpu.core import synthetic  # noqa: E402
+from voxelslam_tpu.imu import propagation as prop  # noqa: E402
+from voxelslam_tpu.lba import lidar_factor as lf  # noqa: E402
+from voxelslam_tpu.lba import optimizer as opt  # noqa: E402
+from voxelslam_tpu.map import voxelmap  # noqa: E402
+from voxelslam_tpu.map.voxelmap import MapParams  # noqa: E402
+from voxelslam_tpu.odom import esikf, pipeline as pl  # noqa: E402
+from voxelslam_tpu.ops import downsample  # noqa: E402
+
+
+def timeit(name, fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n * 1000
+    print(f"{name:28s} {dt:8.2f} ms")
+    return out
+
+
+def main():
+    print("device:", jax.devices()[0])
+    mp_ = MapParams(capacity=1 << 17, max_probe=16, voxel_size=1.0)
+    W, N_DS, N_RAW = 10, 4096, 32768
+    rng = np.random.default_rng(0)
+
+    # representative data: room-scale points
+    pts_b = jnp.asarray(rng.uniform(-6, 6, (W, N_DS, 3)), jnp.float32)
+    var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (W, N_DS, 3, 3))
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (W, 3, 3))
+    p = jnp.asarray(rng.normal(size=(W, 3)) * 0.1, jnp.float32)
+    valid = jnp.ones((W, N_DS), bool)
+    vm = voxelmap.empty(mp_, W)
+
+    scatter_j = jax.jit(
+        lambda vm, pts, var, R, p, valid: voxelmap.scatter(
+            vm, pts, var, R, p, valid, jnp.float32(0), mp_
+        )
+    )
+    vm, scratch, _ = timeit("scatter (W=10 x 4096)", scatter_j, vm, pts_b, var, R, p, valid)
+
+    recut_j = jax.jit(lambda vm, s: voxelmap.recut(vm, s, mp_))
+    vm = timeit("recut (131k slots)", recut_j, vm, scratch)
+
+    match_pts = pts_b[0]
+    var1 = var[0]
+    m1 = valid[0]
+    match_j = jax.jit(
+        lambda vm, q, v, m: voxelmap.match(vm, q, v, m, mp_)
+    )
+    timeit("match (4096 pts)", match_j, vm, match_pts, var1, m1)
+
+    from voxelslam_tpu.core import state as st
+    x = st.identity()
+    esikf_j = jax.jit(
+        lambda x, vm, q, v, m: esikf.update(x, vm, q, v, m, mp_)
+    )
+    timeit("esikf update (4 iters)", esikf_j, x, vm, match_pts, var1, m1)
+
+    harvest_j = jax.jit(lambda vm, s: lf.harvest(vm, s, mp_, 4096))
+    factors = timeit("harvest (4096 factors)", harvest_j, vm, scratch)
+
+    xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape), st.identity())
+    xs = xs._replace(R=R, p=p)
+    from voxelslam_tpu.imu import preintegration as pre
+    pres = pre.identity((W - 1,))
+    pres = pres._replace(cov=jnp.broadcast_to(jnp.eye(15, dtype=jnp.float32) * 1e-4, (W - 1, 15, 15)), dtime=jnp.full((W - 1,), 0.1, jnp.float32))
+
+    hess_j = jax.jit(
+        lambda f, R, p: lf.evaluate_hess(
+            f, lf.evaluate_residual(f, R, p)[1], R, p
+        )
+    )
+    timeit("lidar hess (4096 voxels)", hess_j, factors, R, p)
+
+    liba_j = jax.jit(
+        lambda xs, f, pres: opt.li_ba(xs, f, pres, max_iter=3)
+    )
+    timeit("li_ba (3 LM iters)", liba_j, xs, factors, pres)
+
+    raw = jnp.asarray(rng.uniform(-6, 6, (N_RAW, 3)), jnp.float32)
+    rmask = jnp.ones((N_RAW,), bool)
+    ds_j = jax.jit(lambda r, m: downsample.voxel_average(r, m, 0.1, N_DS))
+    timeit("downsample (32k raw)", ds_j, raw, rmask)
+
+    margi_j = jax.jit(
+        lambda vm, pts, var, R, p, m: voxelmap.marginalize(vm, pts, var, R, p, m, mp_)
+    )
+    timeit("marginalize", margi_j, vm, match_pts, var1, R[0], p[0], m1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Loop-closure layer tests: pose-graph GN/PCG, plane ICP, BTC
+descriptors + database search on synthetic keyframes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxelslam_tpu.core import so3, synthetic
+from voxelslam_tpu.loop import btc, database, icp, posegraph
+
+
+def _rand_rot(rng, scale=1.0):
+    return np.asarray(so3.exp(jnp.asarray(rng.normal(size=3) * scale, jnp.float32)))
+
+
+class TestPoseGraph:
+    def _chain_graph(self, rng, N=40, drift=0.002, with_loop=True):
+        """Ground-truth circle trajectory; odometry edges with small
+        bias (drift); one loop edge closing start-end."""
+        ang = np.linspace(0, 2 * np.pi, N)
+        Rg = [np.asarray(so3.exp(jnp.asarray([0, 0, a], jnp.float32))) for a in ang]
+        pg = np.stack([5 * np.cos(ang), 5 * np.sin(ang), 0 * ang], axis=1)
+
+        E = N  # N-1 odom + 1 loop (padded)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        Rm = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        tm = np.zeros((E, 3), np.float32)
+        w = np.ones((E, 6), np.float32)
+        ev = np.zeros(E, bool)
+        for k in range(N - 1):
+            ei[k], ej[k] = k, k + 1
+            Rm[k] = Rg[k].T @ Rg[k + 1] @ _rand_rot(rng, drift)
+            tm[k] = Rg[k].T @ (pg[k + 1] - pg[k]) + rng.normal(size=3) * drift
+            w[k] = 1e4
+            ev[k] = True
+        if with_loop:
+            ei[N - 1], ej[N - 1] = 0, N - 1
+            Rm[N - 1] = Rg[0].T @ Rg[N - 1]
+            tm[N - 1] = Rg[0].T @ (pg[N - 1] - pg[0])
+            w[N - 1] = 1e6
+            ev[N - 1] = True
+
+        # initial values: integrate noisy odometry (accumulates drift)
+        R0 = [np.eye(3, dtype=np.float32)]
+        p0 = [pg[0].astype(np.float32)]
+        R0[0] = Rg[0].astype(np.float32)
+        for k in range(N - 1):
+            R0.append(R0[-1] @ Rm[k])
+            p0.append(p0[-1] + R0[-2] @ tm[k])
+        g = posegraph.PoseGraph(
+            R=jnp.asarray(np.stack(R0)), p=jnp.asarray(np.stack(p0)),
+            pose_valid=jnp.ones(N, bool),
+            ei=jnp.asarray(ei), ej=jnp.asarray(ej),
+            Rm=jnp.asarray(Rm), tm=jnp.asarray(tm), w=jnp.asarray(w),
+            edge_valid=jnp.asarray(ev), anchor=jnp.int32(0),
+        )
+        return g, np.stack(Rg), pg
+
+    def test_loop_closure_reduces_drift(self):
+        rng = np.random.default_rng(0)
+        g, Rg, pg = self._chain_graph(rng)
+        drift_before = np.linalg.norm(np.asarray(g.p) - pg, axis=1).max()
+        R, p, chi2 = posegraph.optimize(g, n_iters=10, cg_iters=60)
+        drift_after = np.linalg.norm(np.asarray(p) - pg, axis=1).max()
+        assert drift_after < 0.55 * drift_before
+        # anchored pose unchanged
+        np.testing.assert_allclose(np.asarray(p)[0], pg[0], atol=1e-3)
+
+    def test_perfect_edges_zero_residual(self):
+        rng = np.random.default_rng(1)
+        g, Rg, pg = self._chain_graph(rng, drift=0.0)
+        R, p, chi2 = posegraph.optimize(g, n_iters=5, cg_iters=40)
+        assert float(chi2) < 1e-3
+
+
+class TestIcp:
+    def test_recovers_transform(self):
+        rng = np.random.default_rng(2)
+        # plane cells from a room: centers + normals
+        M = 300
+        ctr = []
+        nrm = []
+        for _ in range(M):
+            axis = rng.integers(0, 3)
+            n = np.zeros(3); n[axis] = rng.choice([-1, 1])
+            c = rng.uniform(-5, 5, 3); c[axis] = rng.choice([-3.0, 3.0])
+            ctr.append(c); nrm.append(n)
+        ctr = np.asarray(ctr, np.float32)
+        nrm = np.asarray(nrm, np.float32)
+        R_true = _rand_rot(rng, 0.1)
+        t_true = rng.normal(size=3) * 0.5
+        src_c = ((ctr - t_true) @ R_true).astype(np.float32)  # inverse map
+        src_n = (nrm @ R_true).astype(np.float32)
+        res = icp.icp_plane(
+            jnp.asarray(src_c), jnp.asarray(src_n), jnp.ones(M, bool),
+            jnp.asarray(ctr), jnp.asarray(nrm), jnp.ones(M, bool),
+            jnp.eye(3, dtype=jnp.float32) , jnp.zeros(3, jnp.float32),
+            icp_eigval=10.0,
+        )
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.t), t_true, atol=2e-2)
+        dR = so3.log(jnp.asarray(R_true.T, jnp.float32) @ res.R)
+        assert np.abs(np.asarray(dR)).max() < 2e-2
+
+    def test_rejects_degenerate(self):
+        """Single-plane geometry: normal matrix rank-1 ⇒ rejected."""
+        rng = np.random.default_rng(3)
+        M = 100
+        ctr = np.stack([rng.uniform(-5, 5, M), rng.uniform(-5, 5, M),
+                        np.zeros(M)], axis=1).astype(np.float32)
+        nrm = np.tile(np.asarray([[0, 0, 1.0]], np.float32), (M, 1))
+        res = icp.icp_plane(
+            jnp.asarray(ctr), jnp.asarray(nrm), jnp.ones(M, bool),
+            jnp.asarray(ctr), jnp.asarray(nrm), jnp.ones(M, bool),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            icp_eigval=10.0,
+        )
+        assert not bool(res.accepted)
+
+
+def _keyframe_cloud(rng, R=np.eye(3), t=np.zeros(3), n_per=20000,
+                    n_poles=40):
+    """Dense room cloud in the keyframe's local frame: planes plus
+    compact vertical 'pole' features (the corner anchors BTC keys on
+    in real scans — uniform plane sampling alone has no repeatable
+    occupancy corners)."""
+    world = synthetic.make_room(size=(14.0, 10.0, 5.0), n_boxes=8, seed=5)
+    pts = []
+    m = world.center.shape[0]
+    # area-proportional sampling (uniform surface density, like a
+    # real scan) — equal per-plane counts starve the big walls below
+    # the voxel_init_num gate and overweight tiny box faces
+    areas = 4.0 * np.linalg.norm(world.u, axis=1) * np.linalg.norm(world.v, axis=1)
+    counts = np.maximum((n_per * areas / areas.sum()).astype(int), 8)
+    for i in range(m):
+        k = counts[i]
+        uv = rng.uniform(-1, 1, (k, 2))
+        pts.append(world.center[i] + uv[:, :1] * world.u[i] + uv[:, 1:] * world.v[i])
+    # fixed pole features (deterministic world structure)
+    rng_w = np.random.default_rng(1234)
+    for _ in range(n_poles):
+        x, y = rng_w.uniform(-6, 6), rng_w.uniform(-4, 4)
+        z0, z1 = -2.5, rng_w.uniform(-1.0, 2.0)
+        k = 150
+        z = rng.uniform(z0, z1, k)
+        jitter = rng.normal(0, 0.02, (k, 2))
+        pts.append(np.stack([x + jitter[:, 0], y + jitter[:, 1], z], axis=1))
+    pts = np.concatenate(pts)
+    local = (pts - t) @ R  # p_local = Rᵀ(p_w − t) with R = world R of kf
+    return local.astype(np.float32)
+
+
+class TestBtc:
+    def test_extract_shapes_and_validity(self):
+        rng = np.random.default_rng(4)
+        pts = _keyframe_cloud(rng)
+        p = btc.BtcParams(line_filter_enable=False)
+        planes, desc = btc.extract(
+            jnp.asarray(pts), jnp.ones(pts.shape[0], bool), p
+        )
+        assert int(jnp.sum(planes.valid)) > 20
+        n_desc = int(jnp.sum(desc.valid))
+        assert n_desc > 50
+        sides = np.asarray(desc.sides)[np.asarray(desc.valid)]
+        assert (sides[:, 0] <= sides[:, 1] + 1e-4).all()
+        assert (sides[:, 1] <= sides[:, 2] + 1e-4).all()
+        # sides within configured bounds (scaled by 1/0.2)
+        assert (sides[:, 2] <= p.desc_max_len / p.side_resolution + 1e-3).all()
+
+    def test_loop_detection_same_place(self):
+        """Two keyframes of the same scene from different poses: the
+        search must find the loop and recover the relative transform."""
+        rng = np.random.default_rng(6)
+        p = btc.BtcParams(line_filter_enable=False, n_proj=4, max_triangles=2048)
+        sp = database.SearchParams(skip_near_num=30)
+        db = database.Database(p, capacity_desc=1 << 14, capacity_kf=64)
+
+        pts0 = _keyframe_cloud(rng)
+        planes0, desc0 = btc.extract(
+            jnp.asarray(pts0), jnp.ones(pts0.shape[0], bool), p
+        )
+        db.add(desc0, planes0, 0)
+
+        # observer pose offset for the query keyframe
+        R_off = _rand_rot(rng, 0.05)
+        t_off = rng.normal(size=3) * 1.0
+        pts1 = _keyframe_cloud(rng, R=R_off, t=t_off)
+        planes1, desc1 = btc.extract(
+            jnp.asarray(pts1), jnp.ones(pts1.shape[0], bool), p
+        )
+        cand = database.search(db, desc1, planes1, 40, sp)
+        assert int(cand.frame) == 0, f"loop not found: {cand}"
+        assert float(cand.score) > 0.4
+        # T_loop maps query-local points to target-local (= world) frame
+        pw = pts1 @ np.asarray(cand.R).T + np.asarray(cand.t)
+        pw_true = pts1 @ R_off.T + t_off
+        err = np.linalg.norm(pw - pw_true, axis=1)
+        assert np.median(err) < 0.5
+
+    def test_no_false_loop_different_place(self):
+        rng = np.random.default_rng(7)
+        p = btc.BtcParams(line_filter_enable=False, n_proj=4, max_triangles=2048)
+        sp = database.SearchParams()
+        db = database.Database(p, capacity_desc=1 << 14, capacity_kf=64)
+        pts0 = _keyframe_cloud(rng)
+        planes0, desc0 = btc.extract(
+            jnp.asarray(pts0), jnp.ones(pts0.shape[0], bool), p
+        )
+        db.add(desc0, planes0, 0)
+        # a different room
+        rng2 = np.random.default_rng(99)
+        world2 = synthetic.make_room(size=(7.0, 16.0, 3.0), n_boxes=3, seed=42)
+        pts2 = []
+        m = world2.center.shape[0]
+        for i in range(m):
+            uv = rng2.uniform(-1, 1, (4000 // m, 2))
+            pts2.append(world2.center[i] + uv[:, :1] * world2.u[i] + uv[:, 1:] * world2.v[i])
+        pts2 = np.concatenate(pts2).astype(np.float32)
+        planes2, desc2 = btc.extract(
+            jnp.asarray(pts2), jnp.ones(pts2.shape[0], bool), p
+        )
+        cand = database.search(db, desc2, planes2, 40, sp)
+        assert float(cand.score) < 0.5 or int(cand.frame) == -1

