@@ -1,0 +1,204 @@
+"""Hierarchical global bundle adjustment (HBA).
+
+Counterpart of the reference's global-mapping thread + top-down pass
+(`thd_globalmapping`/`HBA_add_edge`/`topDownProcess`,
+voxelslam.cpp:2230-2595; `OctreeGBA`, loop_refine.hpp:269-537).
+
+Bottom-up: windows of `win` keyframes (stride `stride`) run a
+LiDAR-only BA — keyframe clouds scatter into a coarse temporary voxel
+map (GBA parameters), plane voxels become eigen-factors, and
+`lidar_ba` refines the window poses coarse→fine.  The final window
+Hessian yields pairwise BetweenFactor edges with
+v6 = 1/|H(6i+k, 6j+k)| (voxelslam.cpp:2405-2427), plus a merged
+submap.  Submaps repeat the same BA at the next level.
+
+Top-down: one pose graph over all scans with sequential + loop +
+hessian edges (topDownProcess, voxelslam.cpp:2231-2317), solved by
+the batch GN/PCG of loop/posegraph.py.
+
+Windows are independent — where the reference runs them serially on
+a background thread, here each window is one jitted device program
+invocation and the host just sweeps the list.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import state
+from ..lba import lidar_factor as lf
+from ..lba import optimizer as opt
+from ..map import voxelmap
+from ..map.voxelmap import MapParams
+
+
+class HbaParams(NamedTuple):
+    map_params: MapParams  # coarse GBA map (voxel_size 2-15, loose gates)
+    fine_params: MapParams  # odometry-grade refinement pass
+    win: int = 10
+    stride: int = 5
+    max_ba_voxels: int = 2048
+    max_iter_coarse: int = 2
+    max_iter_fine: int = 2
+    scatter_passes: int = 2
+
+
+def default_params(gba_voxel=2.0, gba_min_eigen=0.1, odo_voxel=1.0,
+                   odo_min_eigen=0.0025, capacity=1 << 15) -> HbaParams:
+    coarse = MapParams(
+        capacity=capacity, voxel_size=gba_voxel,
+        min_eigen_value=gba_min_eigen, plane_thre_inv=(0.25,) * 4,
+    )
+    fine = MapParams(
+        capacity=capacity, voxel_size=odo_voxel,
+        min_eigen_value=odo_min_eigen, plane_thre_inv=(0.25,) * 4,
+    )
+    return HbaParams(map_params=coarse, fine_params=fine)
+
+
+class WindowEdges(NamedTuple):
+    """Hessian-derived pairwise edges of one BA window."""
+
+    ei: jnp.ndarray  # (Epairs,) local indices i < j
+    ej: jnp.ndarray
+    Rm: jnp.ndarray  # (Epairs, 3, 3) relative measurements
+    tm: jnp.ndarray
+    v6: jnp.ndarray  # (Epairs, 6) noise diag
+    valid: jnp.ndarray
+
+
+def _window_ba_once(pts, mask, R, p, params: MapParams, max_vox, iters,
+                    passes):
+    """One scatter→recut→harvest→BA pass over a window of clouds."""
+    W = pts.shape[0]
+    dtype = pts.dtype
+    vm = voxelmap.empty(params, W, dtype)
+    var = jnp.broadcast_to(
+        jnp.eye(3, dtype=dtype) * 1e-4, pts.shape[:2] + (3, 3)
+    )
+    scratch = None
+    for _ in range(passes):
+        vm, scratch, _ = voxelmap.scatter(
+            vm, pts, var, R, p, mask, jnp.zeros((), dtype), params
+        )
+        vm = voxelmap.recut(vm, scratch, params)
+    factors = lf.harvest(vm, scratch, params, max_vox)
+    xs = state.identity(dtype)
+    xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape), xs)
+    xs = xs._replace(R=R, p=p)
+    res = opt.lidar_ba(xs, factors, max_iter=iters)
+    return res.xs.R, res.xs.p, res.hess, jnp.sum(factors.valid)
+
+
+@partial(jax.jit, static_argnames=("hp",))
+def window_ba(
+    pts: jnp.ndarray,  # (W, P, 3) keyframe clouds, local frames
+    mask: jnp.ndarray,  # (W, P)
+    R: jnp.ndarray,  # (W, 3, 3) keyframe poses
+    p: jnp.ndarray,  # (W, 3)
+    hp: HbaParams,
+):
+    """Coarse→fine window BA + hessian edge extraction
+    (HBA_add_edge, voxelslam.cpp:2320-2482)."""
+    W = pts.shape[0]
+    dtype = pts.dtype
+    R1, p1, _, _ = _window_ba_once(
+        pts, mask, R, p, hp.map_params, hp.max_ba_voxels,
+        hp.max_iter_coarse, hp.scatter_passes,
+    )
+    R2, p2, hess, n_fact = _window_ba_once(
+        pts, mask, R1, p1, hp.fine_params, hp.max_ba_voxels,
+        hp.max_iter_fine, hp.scatter_passes,
+    )
+
+    # pairwise hessian edges for all i<j (voxelslam.cpp:2405-2427)
+    ii, jj = np.triu_indices(W, k=1)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+
+    def edge(i, j):
+        vals = jnp.stack([hess[6 * i + k, 6 * j + k] for k in range(6)])
+        ok = jnp.all(jnp.abs(vals) >= 1e-6)
+        v6 = 1.0 / jnp.maximum(jnp.abs(vals), 1e-12)
+        Rm = jnp.swapaxes(R2[i], -1, -2) @ R2[j]
+        tm = jnp.einsum("ji,j->i", R2[i], p2[j] - p2[i])
+        return Rm, tm, v6, ok
+
+    Rm, tm, v6, ok = jax.vmap(edge)(ii, jj)
+    edges = WindowEdges(ei=ii, ej=jj, Rm=Rm, tm=tm, v6=v6, valid=ok)
+    return R2, p2, edges, n_fact
+
+
+class GlobalMapper:
+    """Host-side bottom-up sweep + submap level
+    (thd_globalmapping, voxelslam.cpp:2485-2595)."""
+
+    def __init__(self, hp: HbaParams, kf_points: int = 16384):
+        self.hp = hp
+        self.kf_points = kf_points
+        self.edges: List[dict] = []  # gba_edges1: keyframe-level
+        self.submaps: List[dict] = []  # merged submap clouds + poses
+
+    def bottom_up(self, keyframes: List) -> None:
+        """Sweep windows of keyframes (stride hp.stride); collect
+        hessian edges and submaps.  `keyframes` are loop.manager
+        Keyframe objects of ONE session."""
+        hp = self.hp
+        self.edges.clear()
+        self.submaps.clear()
+        n = len(keyframes)
+        if n < 2:
+            return
+        for start in range(0, max(n - hp.win + 1, 1), hp.stride):
+            kfs = keyframes[start : start + hp.win]
+            W = len(kfs)
+            if W < 2:
+                continue
+            P = self.kf_points
+            pts = np.zeros((hp.win, P, 3), np.float32)
+            mask = np.zeros((hp.win, P), bool)
+            R = np.tile(np.eye(3, dtype=np.float32), (hp.win, 1, 1))
+            p = np.zeros((hp.win, 3), np.float32)
+            for i, k in enumerate(kfs):
+                m = min(k.cloud.shape[0], P)
+                pts[i, :m] = k.cloud[:m]
+                mask[i, :m] = k.cloud_mask[:m]
+                R[i] = k.R0
+                p[i] = k.p0
+            R2, p2, edges, n_fact = window_ba(
+                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+                jnp.asarray(p), hp,
+            )
+            R2 = np.asarray(R2)
+            p2 = np.asarray(p2)
+            ev = np.asarray(edges.valid)
+            for e in range(len(ev)):
+                i, j = int(edges.ei[e]), int(edges.ej[e])
+                if not ev[e] or i >= W or j >= W:
+                    continue
+                self.edges.append(
+                    dict(
+                        kf1=kfs[i].id, kf2=kfs[j].id,
+                        scan1=(kfs[i].session, kfs[i].first_scan),
+                        scan2=(kfs[j].session, kfs[j].first_scan),
+                        R=np.asarray(edges.Rm[e]),
+                        t=np.asarray(edges.tm[e]),
+                        v6=np.asarray(edges.v6[e]),
+                    )
+                )
+            # merged submap: base = first kf, all clouds re-expressed
+            base_R, base_p = R2[0], p2[0]
+            cloud = []
+            for i, k in enumerate(kfs):
+                pw = k.cloud[k.cloud_mask] @ R2[i].T + p2[i]
+                cloud.append((pw - base_p) @ base_R)
+            self.submaps.append(
+                dict(R0=base_R, p0=base_p,
+                     cloud=np.concatenate(cloud).astype(np.float32),
+                     first=kfs[0].id)
+            )

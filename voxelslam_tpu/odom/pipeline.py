@@ -93,6 +93,8 @@ class StepOutputs(NamedTuple):
     # marginalized ScanPose export to the loop-closure layer
     scan_pose: NavState
     scan_v6: jnp.ndarray  # (6,) odometry edge noise (voxelslam.cpp:1656-1658)
+    scan_pts: jnp.ndarray  # (N, 3) the marginalized scan's body points
+    scan_mask: jnp.ndarray  # (N,)
     overflow: jnp.ndarray
 
 
@@ -242,7 +244,9 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     out = StepOutputs(
         x=x_post, degenerate=res.degenerate, match_count=res.match_count,
         n_factors=jnp.zeros((), jnp.int32), ba_resid=jnp.zeros(()),
-        scan_pose=x_post, scan_v6=jnp.zeros((6,)), overflow=ovf,
+        scan_pose=x_post, scan_v6=jnp.zeros((6,)),
+        scan_pts=jnp.zeros_like(pts_b), scan_mask=jnp.zeros_like(mask),
+        overflow=ovf,
     )
     return carry, out
 
@@ -272,6 +276,8 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     x0 = state.index(win.xs, 0)
     v6 = ba.hess[0:6, DIM : DIM + 6].diagonal()
     v6 = 1.0 / jnp.maximum(jnp.abs(v6), 1e-12)
+    scan_pts0 = win.pts[0]
+    scan_mask0 = win.mask[0]
 
     # ---- marginalize oldest scan into fixed history ----
     vmap = voxelmap.marginalize(
@@ -297,7 +303,8 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     out = StepOutputs(
         x=x_new, degenerate=res.degenerate, match_count=res.match_count,
         n_factors=jnp.sum(factors.valid), ba_resid=ba.resid1,
-        scan_pose=x0, scan_v6=v6, overflow=ovf,
+        scan_pose=x0, scan_v6=v6, scan_pts=scan_pts0, scan_mask=scan_mask0,
+        overflow=ovf,
     )
     return carry, out
 
@@ -372,3 +379,102 @@ def init_refine(carry: Carry, pp: PipelineParams, n_iter: int = 3):
     )
     carry = carry._replace(x=x, vmap=vmap, win=win)
     return carry, g_norm, span
+
+
+# ------------------------------------------------------- loop correction
+
+@partial(jax.jit, static_argnames=("pp",))
+def apply_loop_correction(
+    carry: Carry,
+    dx_R: jnp.ndarray,  # (3, 3) rigid correction from the PGO
+    dx_p: jnp.ndarray,  # (3,)
+    kf_pts: jnp.ndarray,  # (K, P, 3) recent keyframe clouds (local)
+    kf_mask: jnp.ndarray,  # (K, P)
+    kf_R: jnp.ndarray,  # (K, 3, 3) keyframe base poses (post-PGO)
+    kf_p: jnp.ndarray,  # (K, 3)
+    pp: PipelineParams,
+):
+    """Post-PGO map swap (reference loop_update, voxelslam.cpp:1101-1186):
+    transform the window states and current state by the rigid
+    correction dx (incl. velocity), rebuild the voxel map from the
+    recent keyframes as fixed history, and rescatter the window."""
+    dtype = carry.x.p.dtype
+
+    def corr(x: NavState) -> NavState:
+        return x._replace(
+            R=dx_R @ x.R,
+            p=jnp.einsum("ij,...j->...i", dx_R, x.p) + dx_p,
+            v=jnp.einsum("ij,...j->...i", dx_R, x.v),
+        )
+
+    def corr_batch(xs: NavState) -> NavState:
+        return xs._replace(
+            R=jnp.einsum("ij,wjk->wik", dx_R, xs.R),
+            p=jnp.einsum("ij,wj->wi", dx_R, xs.p) + dx_p,
+            v=jnp.einsum("ij,wj->wi", dx_R, xs.v),
+        )
+
+    x = corr(carry.x)
+    win = carry.win._replace(xs=corr_batch(carry.win.xs))
+
+    # fresh map; keyframe clouds enter as fixed history
+    vmap = voxelmap.empty(pp.map_params, pp.win_size, dtype)
+    K, P, _ = kf_pts.shape
+    var_nom = jnp.broadcast_to(jnp.eye(3, dtype=dtype) * 1e-4, (P, 3, 3))
+    for k in range(K):
+        vmap = voxelmap.marginalize(
+            vmap, kf_pts[k], var_nom, kf_R[k], kf_p[k], kf_mask[k],
+            pp.map_params,
+        )
+    # refit planes over fixed-only voxels (empty window scratch)
+    C = pp.map_params.capacity
+    W = pp.win_size
+    empty_scratch = voxelmap.ScanScratch(
+        win_P=jnp.zeros((C, W, 6), dtype),
+        win_v=jnp.zeros((C, W, 3), dtype),
+        win_n=jnp.zeros((C, W), dtype),
+        add_P=jnp.zeros((C, 6), dtype),
+        add_v=jnp.zeros((C, 3), dtype),
+        add_n=jnp.zeros((C,), dtype),
+        add_cov=jnp.zeros((C, 9, 9), dtype),
+    )
+    vmap = _recut_fixed(vmap, empty_scratch, pp)
+
+    # rescatter the corrected window
+    vmap, scratch, _ = _scatter_recut(vmap, win, carry.jour, pp)
+    return carry._replace(x=x, vmap=vmap, win=win)
+
+
+def _recut_fixed(vmap: VoxelMap, scratch, pp: PipelineParams) -> VoxelMap:
+    """Plane refit over fixed-only voxels (recut requires window
+    points by default; loaded keyframe maps have none)."""
+    from ..core import cluster as _cl
+    from ..ops import eigh3 as _e3
+
+    params = pp.map_params
+    occupied = vmap.keys[:, 3] >= 0
+    level = jnp.clip(vmap.keys[:, 3], 0)
+    leaf = occupied & (vmap.state == 0)
+    c = _cl.Cluster(vmap.fix_P, vmap.fix_v, vmap.fix_n)
+    S = _cl.cov(c)
+    w, V = _e3.eigh3(S)
+    dtype = vmap.fix_P.dtype
+    min_point = jnp.asarray(params.min_point, dtype)[level]
+    thre = jnp.asarray(params.plane_thre_inv, dtype)[level]
+    lam0 = w[..., 0]
+    lam2 = jnp.maximum(w[..., 2], 1e-12)
+    is_plane = (lam0 < params.min_eigen_value) & (lam0 / lam2 < thre)
+    active = leaf & (vmap.fix_n > min_point)
+    plane_ok = active & is_plane
+    u0, center, pvar, radius = voxelmap._plane_params(
+        vmap.fix_P, vmap.fix_v, vmap.fix_n, vmap.fix_cov, w, V
+    )
+    sel = plane_ok[:, None]
+    return vmap._replace(
+        plane_valid=jnp.where(active, is_plane, vmap.plane_valid),
+        plane_n=jnp.where(sel, u0, vmap.plane_n),
+        plane_c=jnp.where(sel, center, vmap.plane_c),
+        plane_var=jnp.where(plane_ok[:, None, None], pvar, vmap.plane_var),
+        plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
+        eig=jnp.where(active[:, None], w, vmap.eig),
+    )

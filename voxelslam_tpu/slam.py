@@ -197,7 +197,8 @@ class SlamFrontend:
 
         self.scan_poses.append(
             dict(
-                t=float(out.scan_pose.t),
+                # session-relative device time -> absolute
+                t=float(out.scan_pose.t) + (self._t0 or 0.0),
                 R=np.asarray(out.scan_pose.R),
                 p=np.asarray(out.scan_pose.p),
                 v=np.asarray(out.scan_pose.v),
@@ -205,10 +206,31 @@ class SlamFrontend:
                 ba=np.asarray(out.scan_pose.ba),
                 g=np.asarray(out.scan_pose.g),
                 v6=np.asarray(out.scan_v6),
+                pts=np.asarray(out.scan_pts),
+                mask=np.asarray(out.scan_mask),
                 session=self.session,
             )
         )
         return rec
+
+    def apply_loop_correction(self, event: dict):
+        """Swap in the post-PGO map and transform the window by the
+        rigid correction (loop_update handshake, voxelslam.cpp:1478)."""
+        kfs = event["kf_clouds"]
+        K = len(kfs)
+        P = kfs[0][0].shape[0]
+        kf_pts = np.stack([k[0] for k in kfs]).astype(np.float32)
+        kf_mask = np.stack([k[1] for k in kfs])
+        kf_R = np.stack([k[2] for k in kfs]).astype(np.float32)
+        kf_p = np.stack([k[3] for k in kfs]).astype(np.float32)
+        self.carry = pl.apply_loop_correction(
+            self.carry,
+            jnp.asarray(event["dx_R"], self.dtype),
+            jnp.asarray(event["dx_p"], self.dtype),
+            jnp.asarray(kf_pts), jnp.asarray(kf_mask),
+            jnp.asarray(kf_R), jnp.asarray(kf_p),
+            self.pp,
+        )
 
     def _record(self, out: pl.StepOutputs, t_end: float) -> ScanRecord:
         rec = ScanRecord(
@@ -256,4 +278,166 @@ class SlamFrontend:
         ts = np.array([r.t for r in self.records])
         Rs = np.stack([r.R for r in self.records])
         ps = np.stack([r.p for r in self.records])
+        return ts, Rs, ps
+
+
+class VoxelSLAM:
+    """Complete system: odometry front-end + loop closure + global
+    mapping + session persistence — the counterpart of the reference's
+    three-thread process (main, voxelslam.cpp:2599-2624), with the
+    loop/global work running as episodic device programs between scans
+    instead of concurrent threads.
+
+    Usage:
+        slam = VoxelSLAM(cfg)
+        for scan in stream: slam.process_scan(...)
+        slam.finish()           # final global BA (HBA) + save
+    """
+
+    def __init__(self, cfg: Config, dtype=jnp.float32,
+                 previous_sessions: Optional[list] = None):
+        from .glb import hba
+        from .loop import btc as _btc, database as _db, manager as _mgr
+
+        self.cfg = cfg
+        self.frontend = SlamFrontend(cfg, dtype)
+        btc_params = (
+            _btc.highfly_params() if cfg.loop.is_high_fly else _btc.BtcParams()
+        )
+        # TPU-native default: more projection planes cost little batched
+        # and measurably improve descriptor recall
+        btc_params = btc_params._replace(n_proj=max(btc_params.n_proj, 4))
+        self.loop = _mgr.LoopManager(
+            btc_params,
+            _db.SearchParams(icp_threshold=cfg.loop.jud_default * 0.3),
+            win_size=cfg.local_ba.win_size,
+            kf_downsample=cfg.odometry.voxel_size / 10.0,
+            icp_eigval=cfg.loop.icp_eigval,
+        )
+        self.gmap = hba.GlobalMapper(hba.default_params(
+            gba_voxel=cfg.gba.voxel_size,
+            gba_min_eigen=cfg.gba.min_eigen_value,
+            odo_voxel=cfg.odometry.voxel_size,
+            odo_min_eigen=cfg.odometry.min_eigen_value,
+        ))
+        self._drained = 0
+        self._last_session = 0
+        self.loop_events: List[dict] = []
+        if previous_sessions:
+            self._load_previous(previous_sessions)
+
+    def _load_previous(self, sessions: list):
+        """Multi-session relocalization: rebuild keyframes + BTC
+        database from saved sessions (previous_map_read,
+        voxelslam.cpp:307-448)."""
+        for sps in sessions:
+            for sp in sps:
+                if "pts" not in sp:
+                    continue
+                self.loop.push_scan_pose(sp)
+            self.loop.new_session()
+        # previous sessions never trigger corrections on themselves
+        self.loop_events.clear()
+        # align bookkeeping: frontend session 0 maps to the new
+        # loop-manager session
+        self._last_session = 0
+
+    def process_scan(self, *args, **kw):
+        rec = self.frontend.process_scan(*args, **kw)
+        # session reset propagation (reset_flag, voxelslam.cpp:1856-1887)
+        if self.frontend.session != self._last_session:
+            self._last_session = self.frontend.session
+            self.loop.new_session()
+            self._drained = len(self.frontend.scan_poses)
+        # drain marginalized ScanPoses to the loop layer
+        while self._drained < len(self.frontend.scan_poses):
+            sp = self.frontend.scan_poses[self._drained]
+            self._drained += 1
+            event = self.loop.push_scan_pose(sp)
+            if event is not None:
+                self.loop_events.append(event)
+                self.frontend.apply_loop_correction(event)
+        return rec
+
+    def run_synthetic(self, data):
+        recs = []
+        for sc in data.scans:
+            r = self.process_scan(
+                sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                data.imu_t, data.imu_gyr, data.imu_acc,
+            )
+            if r is not None:
+                recs.append(r)
+        return recs
+
+    def finish(self, save_dir: Optional[str] = None):
+        """Final global mapping (the reference's `finish` protocol,
+        README.md:56-62): bottom-up HBA over keyframes, top-down pose
+        graph with all edge sets, optional session save."""
+        from .loop import posegraph
+
+        kfs = self.loop.keyframes
+        if len(kfs) >= 2:
+            self.gmap.bottom_up(kfs)
+            if self.gmap.edges:
+                # top-down: sequential + loop + hessian edges
+                g, offsets = self.loop._graph_arrays()
+                import numpy as _np
+
+                ei = [int(v) for v in _np.asarray(g.ei)]
+                ej = [int(v) for v in _np.asarray(g.ej)]
+                Rm = list(_np.asarray(g.Rm))
+                tm = list(_np.asarray(g.tm))
+                w = list(_np.asarray(g.w))
+                for e in self.gmap.edges:
+                    s1, i1 = e["scan1"]
+                    s2, i2 = e["scan2"]
+                    ei.append(offsets[s1] + i1)
+                    ej.append(offsets[s2] + i2)
+                    Rm.append(e["R"])
+                    tm.append(e["t"])
+                    w.append(1.0 / _np.maximum(e["v6"], 1e-8))
+                g = g._replace(
+                    ei=jnp.asarray(_np.asarray(ei, _np.int32)),
+                    ej=jnp.asarray(_np.asarray(ej, _np.int32)),
+                    Rm=jnp.asarray(_np.stack(Rm).astype(_np.float32)),
+                    tm=jnp.asarray(_np.stack(tm).astype(_np.float32)),
+                    w=jnp.asarray(_np.stack(w).astype(_np.float32)),
+                    edge_valid=jnp.ones(len(ei), bool),
+                )
+                R, p, chi2 = posegraph.optimize(g)
+                R = _np.asarray(R)
+                p = _np.asarray(p)
+                for o, sess in zip(offsets, self.loop.sessions):
+                    for i, s in enumerate(sess):
+                        rot = R[o + i] @ s["R"].T
+                        s["v"] = rot @ s["v"]
+                        s["R"] = R[o + i]
+                        s["p"] = p[o + i]
+                for k in kfs:
+                    o = offsets[k.session]
+                    k.R0 = R[o + k.first_scan]
+                    k.p0 = p[o + k.first_scan]
+
+        if save_dir is not None:
+            from .io import serialization
+
+            for si, sess in enumerate(self.loop.sessions):
+                if sess:
+                    name = f"{self.cfg.general.bagname}_s{si}"
+                    serialization.save_session(
+                        f"{save_dir}/{name}", sess
+                    )
+
+    def trajectory(self):
+        """Final trajectory from the loop-layer scan poses (PGO-
+        corrected), falling back to front-end records."""
+        out = []
+        for sess in self.loop.sessions:
+            out.extend(sess)
+        if not out:
+            return self.frontend.trajectory()
+        ts = np.array([s["t"] for s in out])
+        Rs = np.stack([s["R"] for s in out])
+        ps = np.stack([s["p"] for s in out])
         return ts, Rs, ps
