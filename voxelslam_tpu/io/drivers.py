@@ -1,0 +1,217 @@
+"""Sensor decoding + scan/IMU synchronization (host shim).
+
+Counterpart of the reference's `Features`/per-sensor handlers
+(feature_point.hpp:103-366) and `sync_packages`
+(voxelslam.hpp:105-161).  Raw sensor records arrive as numpy
+structured arrays (e.g. replayed from npz/rosbag extractions); the
+decoders normalize them into (xyz f32, per-point relative offsets,
+scan begin time) with the reference's decimation (point_filter_num)
+and blind-range culling, preferring the native C++ fast path
+(native/decoder.cpp) with a numpy fallback.
+
+Time semantics per sensor (feature_point.hpp):
+- LIVOX     : per-point offset_time ns relative to scan begin
+- VELODYNE  : float32 `time` seconds; when absent, azimuth
+              reconstruction at ω = 3610 deg/s (hpp:101, 200-252)
+- OUSTER    : uint32 `t` nanoseconds
+- HESAI     : float64 absolute `timestamp` seconds
+- ROBOSENSE : float64 absolute; scan stamped by its first point
+- TARTANAIR : no per-point time (point_notime)
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from .. import native
+
+
+class LidType(IntEnum):
+    LIVOX = 0
+    VELODYNE = 1
+    OUSTER = 2
+    HESAI = 3
+    ROBOSENSE = 4
+    TARTANAIR = 5
+
+
+class DecodedScan(NamedTuple):
+    pts: np.ndarray  # (K, 3) LiDAR-frame
+    offsets: np.ndarray  # (K,) seconds from scan begin
+    t_begin: float
+    t_end: float
+
+
+_MAX_OFFSET = 0.11  # drop points later than this (voxelslam.hpp:92)
+
+
+def _np_decode(xyz, offt, blind_sq, filter_num, max_offset):
+    xyz = xyz[::max(filter_num, 1)]
+    offt = offt[::max(filter_num, 1)]
+    r2 = np.sum(xyz * xyz, axis=1)
+    ok = (r2 >= blind_sq) & np.isfinite(r2) & (offt >= 0) & (offt <= max_offset)
+    xyz = xyz[ok]
+    offt = offt[ok]
+    order = np.argsort(offt, kind="stable")
+    return xyz[order].astype(np.float32), offt[order].astype(np.float32)
+
+
+def _native_decode(raw: np.ndarray, offs: dict, time_mode: int, t0: float,
+                   blind_sq: float, filter_num: int, max_out: int):
+    L = native.lib()
+    if L is None:
+        return None
+    raw = np.ascontiguousarray(raw.view(np.uint8)).reshape(len(raw), -1)
+    out_xyz = np.empty((max_out, 3), np.float32)
+    out_t = np.empty(max_out, np.float32)
+    import ctypes
+
+    n = L.decode_points(
+        raw.ctypes.data, len(raw), raw.shape[1],
+        offs["x"], offs["y"], offs["z"], offs.get("t", 0), time_mode,
+        float(t0), float(blind_sq), int(filter_num), _MAX_OFFSET,
+        out_xyz.ctypes.data, out_t.ctypes.data, max_out,
+    )
+    L.sort_by_offset(out_xyz.ctypes.data, out_t.ctypes.data, n)
+    return out_xyz[:n], out_t[:n]
+
+
+def decode(
+    lidar_type: LidType,
+    data: np.ndarray,
+    t_begin: float,
+    blind: float = 0.5,
+    point_filter_num: int = 3,
+    scan_period: float = 0.1,
+    max_points: int = 1 << 17,
+) -> DecodedScan:
+    """Normalize one raw scan.  `data` is a structured numpy array
+    whose fields depend on the sensor:
+      LIVOX     : x, y, z, offset_time (ns uint32/float)
+      VELODYNE  : x, y, z [, time (s f32)]
+      OUSTER    : x, y, z, t (ns u32)
+      HESAI     : x, y, z, timestamp (abs f64)
+      ROBOSENSE : x, y, z, timestamp (abs f64)
+      TARTANAIR : x, y, z
+    """
+    names = data.dtype.names or ()
+    bsq = blind * blind
+    xyz = np.stack(
+        [data["x"], data["y"], data["z"]], axis=1
+    ).astype(np.float32)
+
+    if lidar_type == LidType.LIVOX:
+        offt = np.asarray(data["offset_time"], np.float64)
+        if offt.dtype != np.float64 or offt.max(initial=0) > 10.0:
+            offt = offt * 1e-9
+        t0, t1 = t_begin, t_begin + scan_period
+    elif lidar_type == LidType.VELODYNE:
+        if "time" in names:
+            offt = np.asarray(data["time"], np.float64)
+            if offt.size and offt[0] > 0.5 * offt.max(initial=0):
+                pass
+        else:
+            # azimuth reconstruction fallback (feature_point.hpp:200-252)
+            yaw = np.arctan2(xyz[:, 1], xyz[:, 0])
+            d = yaw[0] - yaw
+            d = np.where(d < 0, d + 2 * np.pi, d)
+            offt = d / np.deg2rad(3610.0)
+        t0, t1 = t_begin, t_begin + scan_period
+    elif lidar_type == LidType.OUSTER:
+        offt = np.asarray(data["t"], np.float64) * 1e-9
+        t0, t1 = t_begin, t_begin + scan_period
+    elif lidar_type in (LidType.HESAI, LidType.ROBOSENSE):
+        ts = np.asarray(data["timestamp"], np.float64)
+        t0 = float(ts.min()) if lidar_type == LidType.ROBOSENSE else t_begin
+        offt = ts - t0
+        t1 = t0 + scan_period
+    else:  # TARTANAIR: no per-point time
+        offt = np.zeros(len(xyz))
+        t0, t1 = t_begin, t_begin + scan_period
+
+    pts, offs = _np_decode(xyz, offt, bsq, point_filter_num, _MAX_OFFSET)
+    if len(pts) == 0:
+        # empty-scan placeholder (voxelslam.hpp:96-101)
+        pts = np.zeros((2, 3), np.float32)
+        pts[:, 0] = 100.0
+        offs = np.zeros(2, np.float32)
+    return DecodedScan(pts[:max_points], offs[:max_points], t0, t1)
+
+
+def decode_raw_native(
+    lidar_type: LidType, raw: np.ndarray, field_offsets: dict,
+    t_begin: float, blind: float = 0.5, point_filter_num: int = 3,
+    scan_period: float = 0.1, max_points: int = 1 << 17,
+) -> Optional[DecodedScan]:
+    """Zero-copy native decode of packed binary records (the C++ fast
+    path).  `field_offsets`: {"x":0,"y":4,"z":8,"t":16}; returns None
+    when the native library is unavailable."""
+    mode = {
+        LidType.LIVOX: 1,
+        LidType.VELODYNE: 0 if "t" in field_offsets else 3,
+        LidType.OUSTER: 1,
+        LidType.HESAI: 2,
+        LidType.ROBOSENSE: 2,
+        LidType.TARTANAIR: 3,
+    }[lidar_type]
+    out = _native_decode(
+        raw, field_offsets, mode, t_begin, blind * blind,
+        point_filter_num, max_points,
+    )
+    if out is None:
+        return None
+    pts, offs = out
+    return DecodedScan(pts, offs, t_begin, t_begin + scan_period)
+
+
+class ScanSync:
+    """Pair each decoded scan with its IMU span (sync_packages,
+    voxelslam.hpp:105-161): a scan is released once IMU data covers
+    its end time; requires > 4 IMU samples in the span."""
+
+    def __init__(self, min_imu: int = 5):
+        self.scans: List[DecodedScan] = []
+        self.imu_t: List[float] = []
+        self.imu_gyr: List[np.ndarray] = []
+        self.imu_acc: List[np.ndarray] = []
+        self.min_imu = min_imu
+        self._t_prev_end: Optional[float] = None
+
+    def push_imu(self, t: float, gyr, acc):
+        self.imu_t.append(float(t))
+        self.imu_gyr.append(np.asarray(gyr, np.float64))
+        self.imu_acc.append(np.asarray(acc, np.float64))
+
+    def push_scan(self, scan: DecodedScan):
+        self.scans.append(scan)
+
+    def pop(self) -> Optional[tuple]:
+        """Next synchronized (scan, imu_t, imu_gyr, imu_acc) or None."""
+        if not self.scans or not self.imu_t:
+            return None
+        sc = self.scans[0]
+        if self.imu_t[-1] < sc.t_end:
+            return None
+        t_lo = (self._t_prev_end if self._t_prev_end is not None
+                else sc.t_begin) - 0.5
+        ts = np.asarray(self.imu_t)
+        sel = (ts >= t_lo) & (ts <= sc.t_end + 0.05)
+        if sel.sum() <= self.min_imu - 1:
+            self.scans.pop(0)
+            return None
+        self.scans.pop(0)
+        self._t_prev_end = sc.t_end
+        # trim consumed imu history (keep 1 s margin)
+        keep_from = np.searchsorted(ts, sc.t_end - 1.0)
+        self.imu_t = self.imu_t[keep_from:]
+        self.imu_gyr = self.imu_gyr[keep_from:]
+        self.imu_acc = self.imu_acc[keep_from:]
+        return (
+            sc,
+            np.asarray(self.imu_t),
+            np.stack(self.imu_gyr) if self.imu_gyr else np.zeros((0, 3)),
+            np.stack(self.imu_acc) if self.imu_acc else np.zeros((0, 3)),
+        )

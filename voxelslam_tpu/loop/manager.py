@@ -47,6 +47,7 @@ class Keyframe:
     cloud: np.ndarray  # (P, 3) local-frame merged cloud
     cloud_mask: np.ndarray
     jour: float = 0.0
+    loadable: bool = False  # mid-term reload candidate (kf.exist)
 
 
 @dataclass
@@ -108,6 +109,15 @@ class LoopManager:
         self._last_kf_pose = None
 
     # ------------------------------------------------------------- scans
+
+    def nearest_loadable(self, pos: np.ndarray, radius: float = 10.0):
+        """One loadable keyframe within radius of `pos` (the per-scan
+        keyframe_loading query); marks it loaded."""
+        for k in self.keyframes:
+            if k.loadable and np.linalg.norm(k.p0 - pos) < radius:
+                k.loadable = False
+                return k
+        return None
 
     def push_scan_pose(self, sp: dict) -> Optional[dict]:
         """Feed one marginalized ScanPose (R, p, v, v6, t, pts, mask).
@@ -295,8 +305,11 @@ class LoopManager:
             k.p0 = p[o + k.first_scan]
 
         # recent keyframes for the front-end map rebuild (last 5,
-        # voxelslam.cpp:2131-2150)
+        # voxelslam.cpp:2131-2150); older ones become mid-term reload
+        # candidates (kd_keyframes registration, voxelslam.cpp:2152-2167)
         recent = self.keyframes[-5:]
+        for k in self.keyframes[:-5]:
+            k.loadable = True
         return dict(
             dx_R=dx_R, dx_p=dx_p,
             kf_clouds=[

@@ -1,0 +1,60 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+Built lazily with g++ on first import; every caller has a numpy
+fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libvoxelslam_native.so")
+_SRC = os.path.join(_DIR, "decoder.cpp")
+
+_lib = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library (g++ -O3). Returns success."""
+    if os.path.exists(_SO) and not force:
+        if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def lib():
+    """The loaded library, or None when unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build():
+        return None
+    try:
+        L = ctypes.CDLL(_SO)
+        L.decode_points.restype = ctypes.c_int
+        L.decode_points.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long,
+        ]
+        L.sort_by_offset.restype = ctypes.c_int
+        L.sort_by_offset.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long
+        ]
+        _lib = L
+        return L
+    except OSError:
+        return None

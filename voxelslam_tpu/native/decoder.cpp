@@ -1,0 +1,125 @@
+// Native host-side LiDAR packet/point decoding.
+//
+// Counterpart of the reference's per-sensor decode loops
+// (feature_point.hpp:142-366): normalize raw point records into
+// padded (xyz, per-point relative time) arrays with decimation and
+// blind-range culling in one pass.  The SLAM host runs on few cores
+// while scans arrive at 10 Hz x ~100k points, so this path is C++
+// (compiled -O3, ctypes-loaded); io/drivers.py falls back to numpy
+// when the shared library is unavailable.
+//
+// Layout contract: points are raw bytes with a fixed stride;
+// field offsets are passed in, so one entry point serves all sensor
+// types (velodyne/ouster/hesai/robosense/livox).  Time semantics are
+// handled per mode:
+//   mode 0: relative float32 seconds at off_t
+//   mode 1: relative uint32 nanoseconds at off_t (ouster)
+//   mode 2: absolute float64 seconds at off_t (hesai) -> subtract t0
+//   mode 3: no time field -> azimuth reconstruction (velodyne
+//           fallback, feature_point.hpp:200-252, omega = 3610 deg/s)
+//   mode 4: relative float32 ms at off_t (robosense-style)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Returns number of points written (<= max_out).
+int decode_points(
+    const uint8_t* raw, long n_pts, long stride,
+    long off_x, long off_y, long off_z, long off_t, int time_mode,
+    double t0, double blind_sq, int filter_num, double max_offset,
+    float* out_xyz, float* out_offt, long max_out)
+{
+    long m = 0;
+    const double omega = 3610.0 * M_PI / 180.0;  // deg/s -> rad/s
+    double first_yaw = 0.0;
+    bool have_first = false;
+
+    for (long i = 0; i < n_pts; i += (filter_num > 0 ? filter_num : 1)) {
+        const uint8_t* rec = raw + i * stride;
+        float x, y, z;
+        std::memcpy(&x, rec + off_x, 4);
+        std::memcpy(&y, rec + off_y, 4);
+        std::memcpy(&z, rec + off_z, 4);
+        double r2 = (double)x * x + (double)y * y + (double)z * z;
+        if (r2 < blind_sq || !std::isfinite(r2)) continue;
+
+        double offt = 0.0;
+        switch (time_mode) {
+        case 0: { float t; std::memcpy(&t, rec + off_t, 4); offt = t; } break;
+        case 1: { uint32_t t; std::memcpy(&t, rec + off_t, 4); offt = t * 1e-9; } break;
+        case 2: { double t; std::memcpy(&t, rec + off_t, 8); offt = t - t0; } break;
+        case 3: {
+            double yaw = std::atan2((double)y, (double)x);
+            if (!have_first) { first_yaw = yaw; have_first = true; }
+            double d = first_yaw - yaw;  // clockwise spin
+            while (d < 0) d += 2.0 * M_PI;
+            offt = d / omega;
+        } break;
+        case 4: { float t; std::memcpy(&t, rec + off_t, 4); offt = t * 1e-3; } break;
+        }
+        if (offt < 0.0 || offt > max_offset) continue;
+        if (m >= max_out) break;
+        out_xyz[m * 3 + 0] = x;
+        out_xyz[m * 3 + 1] = y;
+        out_xyz[m * 3 + 2] = z;
+        out_offt[m] = (float)offt;
+        m++;
+    }
+    return (int)m;
+}
+
+// Sort points by time offset in place (the reference sorts scans by
+// curvature before processing, voxelslam.hpp:87).  Simple index sort.
+int sort_by_offset(float* xyz, float* offt, long n)
+{
+    // insertion-ish: counting on mostly-sorted input; fall back to a
+    // simple O(n log n) index sort via std::sort
+    struct Rec { float t; float x, y, z; };
+    // allocate on heap
+    Rec* tmp = new Rec[n];
+    for (long i = 0; i < n; i++) {
+        tmp[i].t = offt[i];
+        tmp[i].x = xyz[3 * i];
+        tmp[i].y = xyz[3 * i + 1];
+        tmp[i].z = xyz[3 * i + 2];
+    }
+    // std::sort without <algorithm> include shortcut:
+    // (include it properly)
+    struct Cmp { bool operator()(const Rec& a, const Rec& b) const { return a.t < b.t; } };
+    // fallthrough to std::sort below
+    extern void __dummy__();  // no-op
+    {
+        // local include-free sort: simple heapsort to avoid extra deps
+        auto sift = [&](long start, long end) {
+            long root = start;
+            while (2 * root + 1 <= end) {
+                long child = 2 * root + 1;
+                if (child + 1 <= end && tmp[child].t < tmp[child + 1].t) child++;
+                if (tmp[root].t < tmp[child].t) {
+                    Rec s = tmp[root]; tmp[root] = tmp[child]; tmp[child] = s;
+                    root = child;
+                } else break;
+            }
+        };
+        for (long start = (n - 2) / 2; start >= 0; start--) sift(start, n - 1);
+        for (long end = n - 1; end > 0; end--) {
+            Rec s = tmp[0]; tmp[0] = tmp[end]; tmp[end] = s;
+            sift(0, end - 1);
+        }
+    }
+    for (long i = 0; i < n; i++) {
+        offt[i] = tmp[i].t;
+        xyz[3 * i] = tmp[i].x;
+        xyz[3 * i + 1] = tmp[i].y;
+        xyz[3 * i + 2] = tmp[i].z;
+    }
+    delete[] tmp;
+    return 0;
+}
+
+void __dummy__() {}
+
+}  // extern "C"

@@ -478,3 +478,25 @@ def _recut_fixed(vmap: VoxelMap, scratch, pp: PipelineParams) -> VoxelMap:
         plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
         eig=jnp.where(active[:, None], w, vmap.eig),
     )
+
+
+@partial(jax.jit, static_argnames=("pp",))
+def insert_fixed_keyframe(
+    carry: Carry,
+    pts: jnp.ndarray,  # (P, 3) keyframe cloud, local frame
+    mask: jnp.ndarray,  # (P,)
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    pp: PipelineParams,
+):
+    """Mid-term association: fold one historical keyframe into the map
+    as fixed history + refit its planes (keyframe_loading,
+    voxelslam.cpp:1189-1228)."""
+    dtype = pts.dtype
+    P = pts.shape[0]
+    var = jnp.broadcast_to(jnp.eye(3, dtype=dtype) * 1e-4, (P, 3, 3))
+    vmap = voxelmap.marginalize(
+        carry.vmap, pts, var, R0, p0, mask, pp.map_params
+    )
+    vmap = _recut_fixed(vmap, None, pp)
+    return carry._replace(vmap=vmap)

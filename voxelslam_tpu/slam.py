@@ -213,6 +213,16 @@ class SlamFrontend:
         )
         return rec
 
+    def insert_keyframe_fixed(self, cloud, mask, R0, p0):
+        """Mid-term association: fold one historical keyframe back
+        into the map as fixed points (keyframe_loading,
+        voxelslam.cpp:1189-1228)."""
+        self.carry = pl.insert_fixed_keyframe(
+            self.carry, jnp.asarray(cloud, self.dtype),
+            jnp.asarray(mask), jnp.asarray(R0, self.dtype),
+            jnp.asarray(p0, self.dtype), self.pp,
+        )
+
     def apply_loop_correction(self, event: dict):
         """Swap in the post-PGO map and transform the window by the
         rigid correction (loop_update handshake, voxelslam.cpp:1478)."""
@@ -344,6 +354,13 @@ class VoxelSLAM:
 
     def process_scan(self, *args, **kw):
         rec = self.frontend.process_scan(*args, **kw)
+        # mid-term association: reload one nearby historical keyframe
+        if rec is not None and self.frontend.phase == "STEADY":
+            k = self.loop.nearest_loadable(rec.p)
+            if k is not None:
+                self.frontend.insert_keyframe_fixed(
+                    k.cloud, k.cloud_mask, k.R0, k.p0
+                )
         # session reset propagation (reset_flag, voxelslam.cpp:1856-1887)
         if self.frontend.session != self._last_session:
             self._last_session = self.frontend.session
