@@ -1,0 +1,51 @@
+"""Telemetry + viz export tests."""
+
+import os
+
+import numpy as np
+
+from voxelslam_tpu.io import viz
+from voxelslam_tpu.utils import telemetry
+
+
+class TestTelemetry:
+    def test_stage_stats(self):
+        t = telemetry.Telemetry()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        t.count("x", 3)
+        snap = t.snapshot()
+        assert snap["x"] == 3
+        assert "a.mean_ms" in snap
+        assert t.stages["a"].count == 2
+        assert "host_rss_gb" in snap
+        assert snap["host_rss_gb"] > 0
+        assert "a" in t.report()
+
+
+class TestViz:
+    def test_ply_roundtrip_shapes(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        p = str(tmp_path / "x.ply")
+        viz.write_ply(p, pts)
+        raw = open(p, "rb").read()
+        assert b"element vertex 50" in raw
+        body = raw[raw.find(b"end_header\n") + 11:]
+        back = np.frombuffer(body, np.float32).reshape(50, 3)
+        np.testing.assert_allclose(back, pts)
+
+    def test_exporter_channels(self, tmp_path):
+        ex = viz.VizExporter(str(tmp_path), every=1)
+        rng = np.random.default_rng(1)
+        ex.scan(rng.normal(size=(10, 3)))
+        ex.path(rng.normal(size=(20, 3)), sessions=np.zeros(20, int))
+        ex.local_map(rng.normal(size=(10, 3)))
+        ex.global_map([rng.normal(size=(10, 3)), rng.normal(size=(10, 3))])
+        files = os.listdir(tmp_path)
+        assert "map_scan.ply" in files
+        assert "map_path.ply" in files
+        assert "map_cmap.ply" in files
+        assert any(f.startswith("map_pmap") for f in files)

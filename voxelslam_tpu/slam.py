@@ -100,6 +100,8 @@ class SlamFrontend:
         self.records: List[ScanRecord] = []
         self.scan_poses: List[dict] = []  # exports for loop closure
         self._t0: Optional[float] = None  # session time origin
+        from .utils.telemetry import Telemetry
+        self.telemetry = Telemetry()
 
     # ------------------------------------------------------------- inputs
 
@@ -166,10 +168,12 @@ class SlamFrontend:
         self.t_prev_end = t_end
 
         if self.phase == "FILL":
-            self.carry, out = pl.fill_step(
-                self.carry, inp, self.pp, self.imu_noise,
-                self.ext_R, self.ext_t, self.scale_gravity,
-            )
+            with self.telemetry.stage("fill_step"):
+                self.carry, out = pl.fill_step(
+                    self.carry, inp, self.pp, self.imu_noise,
+                    self.ext_R, self.ext_t, self.scale_gravity,
+                )
+                out.x.p.block_until_ready()
             if int(self.carry.win_count) >= self.pp.win_size:
                 self.carry, g_norm, span = pl.init_refine(self.carry, self.pp)
                 g_norm = float(g_norm)
@@ -181,11 +185,16 @@ class SlamFrontend:
             return rec
 
         # STEADY
-        self.carry, out = pl.steady_step(
-            self.carry, inp, self.pp, self.imu_noise,
-            self.ext_R, self.ext_t, self.scale_gravity,
-        )
+        with self.telemetry.stage("steady_step"):
+            self.carry, out = pl.steady_step(
+                self.carry, inp, self.pp, self.imu_noise,
+                self.ext_R, self.ext_t, self.scale_gravity,
+            )
+            out.x.p.block_until_ready()
         rec = self._record(out, t_end)
+        self.telemetry.count("scans")
+        if bool(out.degenerate):
+            self.telemetry.count("degenerate_scans")
 
         if out.degenerate:
             self.degrade_cnt += 1
