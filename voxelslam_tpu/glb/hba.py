@@ -86,7 +86,7 @@ def _window_ba_once(pts, mask, R, p, params: MapParams, max_vox, iters,
         vm, scratch, _ = voxelmap.scatter(
             vm, pts, var, R, p, mask, jnp.zeros((), dtype), params
         )
-        vm = voxelmap.recut(vm, scratch, params)
+        vm, _ = voxelmap.recut(vm, scratch, params)
     factors = lf.harvest(vm, scratch, params, max_vox)
     xs = state.identity(dtype)
     xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape), xs)

@@ -74,7 +74,13 @@ class LoopManager:
         min_kf_trans: float = 0.1,
         db_capacity: int = 1 << 17,
         kf_capacity: int = 2048,
+        ratio_drift: float = 0.05,
+        curr_halt: int = 10,
+        prev_halt: int = 10,
     ):
+        self.ratio_drift = ratio_drift
+        self.curr_halt = curr_halt
+        self.prev_halt = prev_halt
         self.p = btc_params
         self.sp = search_params
         self.win_size = win_size
@@ -95,6 +101,10 @@ class LoopManager:
         self._last_kf_pose: Optional[tuple] = None
         self.n_loops_found = 0
         self.n_optimizations = 0
+        self._since_opt = 10**9  # accepted loops since last optimization
+        self._merged_sessions = set()  # session pairs already linked
+        self.g_update_pending = False  # cross-session merge -> gravity
+        #                                refresh in the window BA
 
     # ---------------------------------------------------------- sessions
 
@@ -129,6 +139,13 @@ class LoopManager:
         sess = self.sessions[-1]
         sp = dict(sp)
         sp["scan_idx"] = len(sess)
+        # cumulative travel (jour) for drift/span policies
+        if sess:
+            sp["jour"] = sess[-1]["jour"] + float(
+                np.linalg.norm(sp["p"] - sess[-1]["p"])
+            )
+        else:
+            sp["jour"] = 0.0
         sess.append(sp)
 
         # keyframe gating: skip near-static scans (voxelslam.cpp:1932-1939)
@@ -218,6 +235,19 @@ class LoopManager:
         Rm = np.asarray(res.R)
         tm = np.asarray(res.t)
         v6 = np.full(6, 1e-4, np.float32)
+
+        # drift = discrepancy between measured and estimated relative
+        # pose; policies per voxelslam.cpp:1997-2069
+        p_pred = tgt.R0 @ tm + tgt.p0
+        drift = float(np.linalg.norm(p_pred - kf.p0))
+        same = tgt.session == kf.session
+        if same:
+            q = self.sessions[kf.session]
+            span = abs(
+                q[kf.first_scan]["jour"] - q[tgt.first_scan]["jour"]
+            ) + 1e-6
+            if drift / span > self.ratio_drift and drift > 1.0:
+                return None  # implausible same-session loop
         self.loop_edges.append(
             LoopEdge(
                 s1=tgt.session, s2=kf.session,
@@ -225,6 +255,19 @@ class LoopManager:
                 R=Rm, t=tm, v6=v6,
             )
         )
+        self._since_opt += 1
+        pair = (min(tgt.session, kf.session), max(tgt.session, kf.session))
+        first_link = (not same) and pair not in self._merged_sessions
+        if first_link:
+            self._merged_sessions.add(pair)
+            self.g_update_pending = True  # g refresh (g_update=2)
+        halt = self.curr_halt if same else self.prev_halt
+        need = first_link or (
+            drift > (0.10 if same else 0.25) and self._since_opt > halt
+        )
+        if not need:
+            return None
+        self._since_opt = 0
         return self._optimize(kf, tgt)
 
     # --------------------------------------------------------------- PGO

@@ -125,6 +125,51 @@ def insert(
     return keys, slot, created, overflow
 
 
+def insert_points(
+    keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray,
+    valid: jnp.ndarray, max_probe: int, max_unique: int,
+):
+    """Find-or-create for a large batch with FEW unique keys.
+
+    `insert` contends per query — K colliding scatter rounds; point
+    scatters routinely carry 40k queries over only a few thousand
+    distinct voxels, so deduplicate first (sort by hash + exact-coord
+    compare), insert only the ≤ max_unique representatives, then
+    resolve every query with a gather-only `lookup`.  On TPU this
+    turns the dominant scatter traffic into one sort + small-batch
+    insert + gathers.
+
+    Returns (keys', slot (K,), n_unique, overflow_count).
+    """
+    K = coord.shape[0]
+    h = hashing.mix(coord, level)
+    h = jnp.where(valid, h, INT_MAX)
+    order = jnp.argsort(h)
+    h_s = h[order]
+    c_s = coord[order]
+    l_s = level[order]
+    v_s = valid[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (h_s[1:] != h_s[:-1])
+            | jnp.any(c_s[1:] != c_s[:-1], axis=-1)
+            | (l_s[1:] != l_s[:-1]),
+        ]
+    ) & v_s
+    (uidx,) = jnp.nonzero(first, size=max_unique, fill_value=K)
+    uok = uidx < K
+    us = jnp.clip(uidx, 0, K - 1)
+    keys, _, _, u_ovf = insert(
+        keys, c_s[us], l_s[us], uok, max_probe
+    )
+    slot = lookup(keys, coord, level, max_probe)
+    slot = jnp.where(valid, slot, -1)
+    n_unique = jnp.sum(first)
+    overflow = jnp.sum(u_ovf) + jnp.maximum(n_unique - max_unique, 0)
+    return keys, slot, n_unique, overflow
+
+
 class HashStats(NamedTuple):
     occupied: jnp.ndarray
     load: jnp.ndarray

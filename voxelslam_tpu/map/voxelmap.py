@@ -205,14 +205,17 @@ def scatter(
     flat_valid = valid.reshape(K)
 
     coord, lvl, _ = assign(vmap, flat_w, flat_valid, params)
-    keys, slot, created, overflow = hashmap.insert(
-        vmap.keys, coord, lvl, flat_valid, params.max_probe
+    # dedupe-first insert: ~40k queries touch only a few thousand
+    # voxels, and gather-only lookups resolve the rest (hashmap
+    # insert_points) — the TPU scatter hot spot of the naive path.
+    keys, slot, n_unique, overflow = hashmap.insert_points(
+        vmap.keys, coord, lvl, flat_valid, params.max_probe,
+        max_unique=min(K, 16384),
     )
     ok = flat_valid & (slot >= 0)
     slot_safe = jnp.where(ok, slot, C)  # C = dropped by scatter mode
-
-    # newly created slots start as clean leaves
-    st = vmap.state.at[jnp.where(created, slot, C)].set(0, mode="drop")
+    # (newly created slots are clean leaves by invariant: state is only
+    # ever set by recut on occupied slots and cleared by eviction)
     jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
 
     # voxel centers for center-relative moments
@@ -226,39 +229,63 @@ def scatter(
     # window-slot index per point
     widx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
 
-    # body-frame per-window-slot clusters (for the BA factor / margi)
-    body = pts_body.reshape(K, 3)
-    obody = cluster.point_outer_packed(body)
+    # one sort by (slot, window) serves every accumulation below with
+    # sorted indices — the fast path for TPU scatter-add
     wsel = jnp.where(ok, slot * W + widx, C * W)
+    order = jnp.argsort(wsel)
+    wsel_s = wsel[order]
+    slot_s = jnp.where(wsel_s < C * W, wsel_s // W, C)
+
+    body = pts_body.reshape(K, 3)[order]
+    rel_s = rel[order]
+    ones = jnp.ones((K,), dtype)
+
+    obody = cluster.point_outer_packed(body)
     win_P = (
-        jnp.zeros((C * W, 6), dtype).at[wsel].add(obody, mode="drop")
+        jnp.zeros((C * W, 6), dtype)
+        .at[wsel_s]
+        .add(obody, mode="drop", indices_are_sorted=True)
     ).reshape(C, W, 6)
     win_v = (
-        jnp.zeros((C * W, 3), dtype).at[wsel].add(body, mode="drop")
+        jnp.zeros((C * W, 3), dtype)
+        .at[wsel_s]
+        .add(body, mode="drop", indices_are_sorted=True)
     ).reshape(C, W, 3)
     win_n = (
         jnp.zeros((C * W,), dtype)
-        .at[wsel]
-        .add(jnp.ones((K,), dtype), mode="drop")
+        .at[wsel_s]
+        .add(ones, mode="drop", indices_are_sorted=True)
     ).reshape(C, W)
 
     # world center-relative window sum (for plane fitting)
-    orel = cluster.point_outer_packed(rel)
-    add_P = jnp.zeros((C, 6), dtype).at[slot_safe].add(orel, mode="drop")
-    add_v = jnp.zeros((C, 3), dtype).at[slot_safe].add(rel, mode="drop")
+    orel = cluster.point_outer_packed(rel_s)
+    add_P = (
+        jnp.zeros((C, 6), dtype)
+        .at[slot_s]
+        .add(orel, mode="drop", indices_are_sorted=True)
+    )
+    add_v = (
+        jnp.zeros((C, 3), dtype)
+        .at[slot_s]
+        .add(rel_s, mode="drop", indices_are_sorted=True)
+    )
     add_n = (
-        jnp.zeros((C,), dtype).at[slot_safe].add(jnp.ones((K,), dtype), mode="drop")
+        jnp.zeros((C,), dtype)
+        .at[slot_s]
+        .add(ones, mode="drop", indices_are_sorted=True)
     )
 
     # moment-noise accumulation (Bf_var) for the plane covariance
-    bcov = _bf_var(rel, var_w.reshape(K, 3, 3))
+    bcov = _bf_var(rel_s, var_w.reshape(K, 3, 3)[order])
     add_cov = (
-        jnp.zeros((C, 9, 9), dtype).at[slot_safe].add(bcov, mode="drop")
+        jnp.zeros((C, 9, 9), dtype)
+        .at[slot_s]
+        .add(bcov, mode="drop", indices_are_sorted=True)
     )
 
-    vmap = vmap._replace(keys=keys, state=st, jour=jour_arr)
+    vmap = vmap._replace(keys=keys, jour=jour_arr)
     scratch = ScanScratch(win_P, win_v, win_n, add_P, add_v, add_n, add_cov)
-    return vmap, scratch, jnp.sum(overflow)
+    return vmap, scratch, overflow
 
 
 # ------------------------------------------------------------------ planes
@@ -307,7 +334,7 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
     return u0, center, pvar, w[..., 2]
 
 
-def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams) -> VoxelMap:
+def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     """Per-slot plane refit + subdivision decision (reference recut +
     plane_update, voxel_map.hpp:1118-1194), batched over all slots.
 
@@ -347,7 +374,7 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams) -> VoxelMap:
 
     sel = plane_ok[:, None]
     sel2 = plane_ok[:, None, None]
-    return vmap._replace(
+    vmap = vmap._replace(
         state=jnp.where(subdivide, 1, vmap.state),
         # keep previous plane when this scan didn't revisit the voxel;
         # drop it when the voxel subdivided or lost plane-ness
@@ -360,6 +387,7 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams) -> VoxelMap:
         plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
         eig=jnp.where(active[:, None], w, vmap.eig),
     )
+    return vmap, jnp.sum(subdivide)
 
 
 # ------------------------------------------------------------------ match
@@ -437,7 +465,14 @@ def marginalize(
     C = params.capacity
     dtype = pts_body.dtype
     pts_w = jnp.einsum("ij,nj->ni", R, pts_body) + p
-    coord, lvl, slot = assign(vmap, pts_w, valid, params)
+    coord, lvl, _ = assign(vmap, pts_w, valid, params)
+    # find-or-create: fixed history may target voxels that do not
+    # exist yet (keyframe reload, post-loop map rebuild)
+    keys, slot, _, _ = hashmap.insert_points(
+        vmap.keys, coord, lvl, valid, params.max_probe,
+        max_unique=min(pts_w.shape[0], 16384),
+    )
+    vmap = vmap._replace(keys=keys)
     ok = valid & (slot >= 0)
     s = jnp.clip(slot, 0)
     # cap gate evaluated on pre-marginalization counts

@@ -177,15 +177,27 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
     """Scatter all window points + plane refit, `scatter_passes` times
     so fresh subdivisions re-route within the same scan (multi_recut,
     voxelslam.cpp:1398-1453)."""
-    overflow = jnp.zeros((), jnp.int32)
-    scratch = None
-    for _ in range(pp.scatter_passes):
+    vmap, scratch, overflow = voxelmap.scatter(
+        vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
+        pp.map_params,
+    )
+    vmap, n_subdiv = voxelmap.recut(vmap, scratch, pp.map_params)
+
+    # further passes re-route points through fresh subdivisions; in
+    # steady state subdivisions are rare, so they run under lax.cond
+    def one_pass(args):
+        vmap, scratch, overflow = args
         vmap, scratch, ovf = voxelmap.scatter(
             vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
             pp.map_params,
         )
-        vmap = voxelmap.recut(vmap, scratch, pp.map_params)
-        overflow = overflow + ovf
+        vmap, _ = voxelmap.recut(vmap, scratch, pp.map_params)
+        return vmap, scratch, overflow + ovf
+
+    for _ in range(pp.scatter_passes - 1):
+        vmap, scratch, overflow = jax.lax.cond(
+            n_subdiv > 0, one_pass, lambda a: a, (vmap, scratch, overflow)
+        )
     return vmap, scratch, overflow
 
 

@@ -102,6 +102,8 @@ class SlamFrontend:
         self._t0: Optional[float] = None  # session time origin
         from .utils.telemetry import Telemetry
         self.telemetry = Telemetry()
+        self.g_update = False  # one-shot gravity refresh in the next
+        #                        window BA (g_update=2 protocol)
 
     # ------------------------------------------------------------- inputs
 
@@ -189,7 +191,9 @@ class SlamFrontend:
             self.carry, out = pl.steady_step(
                 self.carry, inp, self.pp, self.imu_noise,
                 self.ext_R, self.ext_t, self.scale_gravity,
+                with_gravity=self.g_update,
             )
+            self.g_update = False
             out.x.p.block_until_ready()
         rec = self._record(out, t_end)
         self.telemetry.count("scans")
@@ -383,6 +387,9 @@ class VoxelSLAM:
             if event is not None:
                 self.loop_events.append(event)
                 self.frontend.apply_loop_correction(event)
+                if self.loop.g_update_pending:
+                    self.frontend.g_update = True
+                    self.loop.g_update_pending = False
         return rec
 
     def run_synthetic(self, data):
