@@ -15,7 +15,7 @@ from voxelslam_tpu.slam import SlamFrontend
 import voxelslam_tpu.odom.pipeline as pl
 
 traj = synthetic.Trajectory(amp=np.array([1.2, 0.9, 0.2]), ramp=1.5, t_start=1.0)
-dirs = synthetic.lidar_dirs(n_lines=16, n_cols=64)
+dirs = synthetic.lidar_dirs(n_lines=20, n_cols=80, fov_v=55.0, fov_h=140.0)
 data = synthetic.simulate(n_scans=25, traj=traj, dirs=dirs, t0=0.5, seed=7)
 
 fe = SlamFrontend(small_config())

@@ -19,11 +19,11 @@ def small_config() -> Config:
         general=GeneralCfg(imu_topic="/synthetic/imu"),
         odometry=OdometryCfg(
             cov_gyr=0.01, cov_acc=0.1, down_size=0.25, voxel_size=1.0,
-            min_eigen_value=0.01,
+            min_eigen_value=0.01, init_span_bound=4.0,
         ),
         local_ba=LocalBACfg(win_size=5, plane_eigen_value_thre=(4.0,) * 4),
         shapes=Shapes(
-            max_raw_points=1024,
+            max_raw_points=2048,
             max_points=1024,
             max_imu=32,
             hash_capacity=1 << 14,
@@ -39,7 +39,7 @@ def synth_data():
         ramp=1.5,
         t_start=1.0,
     )
-    dirs = synthetic.lidar_dirs(n_lines=16, n_cols=64)
+    dirs = synthetic.lidar_dirs(n_lines=20, n_cols=80, fov_v=55.0, fov_h=140.0)
     return traj, synthetic.simulate(
         n_scans=25, traj=traj, dirs=dirs, t0=0.5, seed=7,
     )

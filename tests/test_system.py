@@ -20,7 +20,7 @@ def synth_data():
     traj = synthetic.Trajectory(
         amp=np.array([1.2, 0.9, 0.2]), ramp=1.5, t_start=1.0
     )
-    dirs = synthetic.lidar_dirs(n_lines=16, n_cols=64)
+    dirs = synthetic.lidar_dirs(n_lines=20, n_cols=80, fov_v=55.0, fov_h=140.0)
     return traj, synthetic.simulate(n_scans=30, traj=traj, dirs=dirs,
                                     t0=0.5, seed=7)
 

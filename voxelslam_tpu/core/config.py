@@ -47,6 +47,8 @@ class OdometryCfg:
     min_eigen_value: float = 0.0025  # plane λ0 gate
     degrade_bound: int = 10  # consecutive-degenerate-scan reset bound
     point_notime: int = 0  # 1: points carry no per-point time
+    init_span_bound: float = 15.0  # init plane-normal-span degeneracy
+    #   bound (voxelslam.cpp:651-658); count-scaled, lower for sparse rigs
 
 
 @dataclass(frozen=True)

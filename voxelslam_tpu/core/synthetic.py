@@ -49,7 +49,13 @@ def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0) -> PlaneWo
     rect([0, sy, 0], [0, -1, 0], [sx, 0, 0], [0, 0, sz])
 
     for _ in range(n_boxes):
+        # keep a clearance zone around the origin — the simulated
+        # trajectories live there, and a box at the sensor blinds it
         c = rng.uniform([-sx + 2, -sy + 2, -sz + 0.5], [sx - 2, sy - 2, 0])
+        for _retry in range(20):
+            if np.linalg.norm(c[:2]) > 3.0:
+                break
+            c = rng.uniform([-sx + 2, -sy + 2, -sz + 0.5], [sx - 2, sy - 2, 0])
         h = rng.uniform(0.3, 1.2, 3)
         for axis in range(3):
             for sgn in (-1, 1):

@@ -200,5 +200,50 @@ class GlobalMapper:
             self.submaps.append(
                 dict(R0=base_R, p0=base_p,
                      cloud=np.concatenate(cloud).astype(np.float32),
-                     first=kfs[0].id)
+                     first=kfs[0].id,
+                     scan=(kfs[0].session, kfs[0].first_scan))
             )
+
+    def submap_level(self, max_submaps: int = 16,
+                     submap_points: int = 32768) -> List[dict]:
+        """Second hierarchy level: one BA over the submaps of the
+        connected sessions -> gba_edges2 (thd_globalmapping finish
+        pass, voxelslam.cpp:2559-2581).  Returns submap-base edges."""
+        subs = self.submaps
+        if len(subs) < 2:
+            return []
+        if len(subs) > max_submaps:
+            step = int(np.ceil(len(subs) / max_submaps))
+            subs = subs[::step][:max_submaps]
+        W = max_submaps
+        P = submap_points
+        pts = np.zeros((W, P, 3), np.float32)
+        mask = np.zeros((W, P), bool)
+        R = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+        p = np.zeros((W, 3), np.float32)
+        for i, sm in enumerate(subs):
+            cl = sm["cloud"]
+            if len(cl) > P:
+                sel = np.linspace(0, len(cl) - 1, P).astype(int)
+                cl = cl[sel]
+            pts[i, : len(cl)] = cl
+            mask[i, : len(cl)] = True
+            R[i] = sm["R0"]
+            p[i] = sm["p0"]
+        hp2 = self.hp._replace(win=W)
+        R2, p2, edges, n_fact = window_ba(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+            jnp.asarray(p), hp2,
+        )
+        ev = np.asarray(edges.valid)
+        out = []
+        for e in range(len(ev)):
+            i, j = int(edges.ei[e]), int(edges.ej[e])
+            if not ev[e] or i >= len(subs) or j >= len(subs):
+                continue
+            out.append(dict(
+                scan1=subs[i]["scan"], scan2=subs[j]["scan"],
+                R=np.asarray(edges.Rm[e]), t=np.asarray(edges.tm[e]),
+                v6=np.asarray(edges.v6[e]),
+            ))
+        return out

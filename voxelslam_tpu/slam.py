@@ -94,6 +94,9 @@ class SlamFrontend:
         self._imu_gyr_sum = np.zeros(3)
         self._imu_count = 0
         self.min_init_num = 30
+        self.init_span_bound = c.odometry.init_span_bound  # plane-span bound
+        #                              (voxelslam.cpp:651-658)
+        self._evict_jour = 0.0
         self.t_prev_end: Optional[float] = None
         self.degrade_cnt = 0
         self.session = 0
@@ -165,6 +168,13 @@ class SlamFrontend:
                 self.phase = "FILL"
             return None
 
+        if self.t_prev_end is not None and t_begin < self.t_prev_end - 0.01:
+            # LiDAR time regression (ekf_imu.hpp:45-49): unrecoverable
+            # stream fault -> restart the session instead of exit(0)
+            self._reset(
+                f"LiDAR time regression {t_begin:.3f} < {self.t_prev_end:.3f}"
+            )
+            return None
         inp = self._pack_scan(pts, offsets, t_begin, t_end,
                               imu_t, imu_gyr, imu_acc)
         self.t_prev_end = t_end
@@ -181,6 +191,10 @@ class SlamFrontend:
                 g_norm = float(g_norm)
                 if not (9.6 < g_norm < 10.0):
                     self._reset(f"init gravity norm {g_norm:.3f} out of range")
+                    return None
+                # plane-normal-span degeneracy (voxelslam.cpp:651-658)
+                if float(span) < self.init_span_bound:
+                    self._reset(f"init plane span {float(span):.1f} degenerate")
                     return None
                 self.phase = "STEADY"
             rec = self._record(out, t_end)
@@ -199,6 +213,20 @@ class SlamFrontend:
         self.telemetry.count("scans")
         if bool(out.degenerate):
             self.telemetry.count("degenerate_scans")
+
+        # distance-based map eviction + table compaction
+        jour_now = float(self.carry.jour)
+        if jour_now - self._evict_jour > 50.0:
+            self._evict_jour = jour_now
+            from .map import voxelmap as _vm
+            with self.telemetry.stage("evict"):
+                self.carry = self.carry._replace(
+                    vmap=_vm.evict(
+                        self.carry.vmap, jnp.asarray(jour_now, self.dtype),
+                        self.pp.map_params,
+                    )
+                )
+            self.telemetry.count("evictions")
 
         if out.degenerate:
             self.degrade_cnt += 1
@@ -412,6 +440,9 @@ class VoxelSLAM:
         kfs = self.loop.keyframes
         if len(kfs) >= 2:
             self.gmap.bottom_up(kfs)
+            # second hierarchy level over submaps (gba_edges2)
+            edges2 = self.gmap.submap_level()
+            self.gmap.edges.extend(edges2)
             if self.gmap.edges:
                 # top-down: sequential + loop + hessian edges
                 g, offsets = self.loop._graph_arrays()
