@@ -44,8 +44,22 @@ def main():
     W, N_DS, N_RAW = 10, 4096, 32768
     rng = np.random.default_rng(0)
 
-    # representative data: room-scale points
-    pts_b = jnp.asarray(rng.uniform(-6, 6, (W, N_DS, 3)), jnp.float32)
+    # representative data: points on room surfaces (like a real scan)
+    def room_pts(n):
+        walls = []
+        for axis, lim in ((0, 6.0), (1, 4.5), (2, 2.0)):
+            for sgn in (-1, 1):
+                k = n // 6
+                p = rng.uniform(-6, 6, (k, 3))
+                p[:, axis] = sgn * lim
+                walls.append(p)
+        out = np.concatenate(walls)
+        if len(out) < n:
+            out = np.concatenate([out, out[: n - len(out)]])
+        return out[:n]
+    pts_b = jnp.asarray(
+        np.stack([room_pts(N_DS) for _ in range(W)]), jnp.float32
+    )
     var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4, (W, N_DS, 3, 3))
     R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (W, 3, 3))
     p = jnp.asarray(rng.normal(size=(W, 3)) * 0.1, jnp.float32)
@@ -59,8 +73,20 @@ def main():
     )
     vm, scratch, _ = timeit("scatter (W=10 x 4096)", scatter_j, vm, pts_b, var, R, p, valid)
 
+    # scatter sub-stages
+    flat_w = (jnp.einsum("wij,wnj->wni", R, pts_b) + p[:, None, :]).reshape(-1, 3)
+    fv = valid.reshape(-1)
+    assign_j = jax.jit(lambda vm, q, v: voxelmap.assign(vm, q, v, mp_))
+    timeit("  assign (40960 pts)", assign_j, vm, flat_w, fv)
+    from voxelslam_tpu.map import hashmap as hm
+    coord, lvl, _ = assign_j(vm, flat_w, fv)
+    ins_j = jax.jit(lambda k, c, l, v: hm.insert_points(k, c, l, v, 16, 16384))
+    timeit("  insert_points", ins_j, vm.keys, coord, lvl, fv)
+    lookup_j = jax.jit(lambda k, c, l: hm.lookup(k, c, l, 16))
+    timeit("  lookup (40960)", lookup_j, vm.keys, coord, lvl)
+
     recut_j = jax.jit(lambda vm, s: voxelmap.recut(vm, s, mp_))
-    vm = timeit("recut (131k slots)", recut_j, vm, scratch)
+    vm, _ = timeit("recut (131k slots)", recut_j, vm, scratch)
 
     match_pts = pts_b[0]
     var1 = var[0]

@@ -512,3 +512,89 @@ def insert_fixed_keyframe(
     )
     vmap = _recut_fixed(vmap, None, pp)
     return carry._replace(vmap=vmap)
+
+
+# ----------------------------------------------------- flat input packing
+
+def flat_len(pp: PipelineParams) -> int:
+    """Length of the single f32 host->device transfer per scan."""
+    return pp.n_raw * 4 + pp.n_imu * 8 + 4
+
+
+def pack_scan_flat(pts, offsets, n_valid, imu_dt, imu_gyr, imu_acc,
+                   imu_offt, n_imu_valid, dt_ext, t_end,
+                   pp: PipelineParams):
+    """Host-side: pack one scan into a single f32 vector (numpy) —
+    one RPC to the device instead of ~10 small transfers."""
+    import numpy as np
+
+    out = np.zeros(flat_len(pp), np.float32)
+    o = 0
+    nr, ni = pp.n_raw, pp.n_imu
+    out[o : o + nr * 3] = np.asarray(pts, np.float32).reshape(-1)
+    o += nr * 3
+    out[o : o + nr] = np.asarray(offsets, np.float32)
+    o += nr
+    out[o : o + ni] = np.asarray(imu_dt, np.float32)
+    o += ni
+    out[o : o + ni * 3] = np.asarray(imu_gyr, np.float32).reshape(-1)
+    o += ni * 3
+    out[o : o + ni * 3] = np.asarray(imu_acc, np.float32).reshape(-1)
+    o += ni * 3
+    out[o : o + ni] = np.asarray(imu_offt, np.float32)
+    o += ni
+    out[o] = float(n_valid)
+    out[o + 1] = float(n_imu_valid)
+    out[o + 2] = float(dt_ext)
+    out[o + 3] = float(t_end)
+    return out
+
+
+def unpack_scan_flat(flat: jnp.ndarray, pp: PipelineParams) -> ScanInputs:
+    """Device-side unpack (runs inside the jitted step)."""
+    nr, ni = pp.n_raw, pp.n_imu
+    o = 0
+    pts = flat[o : o + nr * 3].reshape(nr, 3)
+    o += nr * 3
+    offsets = flat[o : o + nr]
+    o += nr
+    dt = flat[o : o + ni]
+    o += ni
+    gyr = flat[o : o + ni * 3].reshape(ni, 3)
+    o += ni * 3
+    acc = flat[o : o + ni * 3].reshape(ni, 3)
+    o += ni * 3
+    offt = flat[o : o + ni]
+    o += ni
+    n_valid = flat[o].astype(jnp.int32)
+    n_imu = flat[o + 1].astype(jnp.int32)
+    dt_ext = flat[o + 2]
+    t_end = flat[o + 3]
+    ar = jnp.arange(nr, dtype=jnp.int32)
+    ai = jnp.arange(ni, dtype=jnp.int32)
+    imu_valid = ai < n_imu
+    return ScanInputs(
+        pts=pts,
+        offsets=offsets,
+        mask=ar < n_valid,
+        imu=prop.ImuBatch(
+            dt=dt, gyr=gyr, acc=acc,
+            offt=jnp.where(imu_valid, offt, jnp.inf),
+            valid=imu_valid,
+        ),
+        dt_ext=dt_ext,
+        t_end=t_end,
+    )
+
+
+@partial(jax.jit, static_argnames=("pp",))
+def fill_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t, scale_gravity):
+    return fill_step(carry, unpack_scan_flat(flat, pp), pp, imu_noise,
+                     ext_R, ext_t, scale_gravity)
+
+
+@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+def steady_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t,
+                     scale_gravity, with_gravity: bool = False):
+    return steady_step(carry, unpack_scan_flat(flat, pp), pp, imu_noise,
+                       ext_R, ext_t, scale_gravity, with_gravity)

@@ -107,6 +107,8 @@ class SlamFrontend:
         self.telemetry = Telemetry()
         self.g_update = False  # one-shot gravity refresh in the next
         #                        window BA (g_update=2 protocol)
+        self._pending = None  # in-flight async steady step
+        self._fill_count = 0
 
     # ------------------------------------------------------------- inputs
 
@@ -138,14 +140,78 @@ class SlamFrontend:
 
     # ------------------------------------------------------------ process
 
+    def _pack_flat(self, pts, offsets, t_begin, t_end,
+                   imu_t, imu_gyr, imu_acc) -> np.ndarray:
+        n_raw = self.pp.n_raw
+        K = min(len(pts), n_raw)
+        P = np.zeros((n_raw, 3), np.float32)
+        O = np.zeros((n_raw,), np.float32)
+        P[:K] = pts[:K]
+        O[:K] = offsets[:K]
+        t_prev = self.t_prev_end if self.t_prev_end is not None else t_begin
+        dt, gyr, acc, offt, valid, dt_ext = prop.pack_imu_intervals(
+            imu_t, imu_gyr, imu_acc, t_prev, t_begin, t_end, self.pp.n_imu
+        )
+        n_imu = int(valid.sum())
+        t_rel = t_end - (self._t0 if self._t0 is not None else t_begin)
+        return pl.pack_scan_flat(
+            P, O, K, dt, gyr, acc, offt, n_imu, dt_ext, t_rel, self.pp
+        )
+
+    def _resolve_pending(self) -> Optional[ScanRecord]:
+        """Drain the previously dispatched (async) steady step: pull
+        its outputs to the host, record, and apply reset policies.
+        Deferring this by one scan lets host packing overlap device
+        execution (the 3-thread pipeline's latency hiding, done with
+        async dispatch instead of threads)."""
+        if self._pending is None:
+            return None
+        out, t_end = self._pending
+        self._pending = None
+        with self.telemetry.stage("resolve"):
+            out = jax.device_get(out)
+        rec = self._record(out, t_end)
+        self.telemetry.count("scans")
+        if bool(out.degenerate):
+            self.telemetry.count("degenerate_scans")
+            self.degrade_cnt += 1
+        elif self.degrade_cnt > 0:
+            self.degrade_cnt -= 1
+
+        self.scan_poses.append(
+            dict(
+                # session-relative device time -> absolute
+                t=float(out.scan_pose.t) + (self._t0 or 0.0),
+                R=np.asarray(out.scan_pose.R),
+                p=np.asarray(out.scan_pose.p),
+                v=np.asarray(out.scan_pose.v),
+                bg=np.asarray(out.scan_pose.bg),
+                ba=np.asarray(out.scan_pose.ba),
+                g=np.asarray(out.scan_pose.g),
+                v6=np.asarray(out.scan_v6),
+                pts=np.asarray(out.scan_pts),
+                mask=np.asarray(out.scan_mask),
+                session=self.session,
+            )
+        )
+        if self.degrade_cnt > self.cfg.odometry.degrade_bound:
+            self._reset("degeneracy bound exceeded")
+        return rec
+
+    def flush(self) -> Optional[ScanRecord]:
+        """Resolve any in-flight scan (call before reading results)."""
+        return self._resolve_pending()
+
     def process_scan(self, pts: np.ndarray, offsets: np.ndarray,
                      t_begin: float, t_end: float,
                      imu_t: np.ndarray, imu_gyr: np.ndarray,
                      imu_acc: np.ndarray) -> Optional[ScanRecord]:
         """Feed one scan + the IMU stream (absolute times, host side).
 
-        Returns the scan's record once odometry runs (None during IMU
-        init)."""
+        STEADY-phase results are pipelined: the returned record is the
+        PREVIOUS scan's (device executes the current one while the
+        host prepares the next); call `flush()` to drain."""
+        rec_prev = self._resolve_pending()
         if self._t0 is None:
             self._t0 = t_begin
 
@@ -166,7 +232,7 @@ class SlamFrontend:
                     x=self.carry.x._replace(g=g0)
                 )
                 self.phase = "FILL"
-            return None
+            return rec_prev
 
         if self.t_prev_end is not None and t_begin < self.t_prev_end - 0.01:
             # LiDAR time regression (ekf_imu.hpp:45-49): unrecoverable
@@ -174,47 +240,43 @@ class SlamFrontend:
             self._reset(
                 f"LiDAR time regression {t_begin:.3f} < {self.t_prev_end:.3f}"
             )
-            return None
-        inp = self._pack_scan(pts, offsets, t_begin, t_end,
-                              imu_t, imu_gyr, imu_acc)
+            return rec_prev
+        flat = self._pack_flat(pts, offsets, t_begin, t_end,
+                               imu_t, imu_gyr, imu_acc)
         self.t_prev_end = t_end
 
         if self.phase == "FILL":
             with self.telemetry.stage("fill_step"):
-                self.carry, out = pl.fill_step(
-                    self.carry, inp, self.pp, self.imu_noise,
+                self.carry, out = pl.fill_step_flat(
+                    self.carry, jnp.asarray(flat), self.pp, self.imu_noise,
                     self.ext_R, self.ext_t, self.scale_gravity,
                 )
-                out.x.p.block_until_ready()
-            if int(self.carry.win_count) >= self.pp.win_size:
+            self._fill_count += 1
+            if self._fill_count >= self.pp.win_size:
                 self.carry, g_norm, span = pl.init_refine(self.carry, self.pp)
                 g_norm = float(g_norm)
                 if not (9.6 < g_norm < 10.0):
                     self._reset(f"init gravity norm {g_norm:.3f} out of range")
-                    return None
+                    return rec_prev
                 # plane-normal-span degeneracy (voxelslam.cpp:651-658)
                 if float(span) < self.init_span_bound:
                     self._reset(f"init plane span {float(span):.1f} degenerate")
-                    return None
+                    return rec_prev
                 self.phase = "STEADY"
-            rec = self._record(out, t_end)
-            return rec
+            return self._record(jax.device_get(out), t_end)
 
-        # STEADY
-        with self.telemetry.stage("steady_step"):
-            self.carry, out = pl.steady_step(
-                self.carry, inp, self.pp, self.imu_noise,
+        # STEADY: async dispatch; resolve on the next call
+        with self.telemetry.stage("dispatch"):
+            self.carry, out = pl.steady_step_flat(
+                self.carry, jnp.asarray(flat), self.pp, self.imu_noise,
                 self.ext_R, self.ext_t, self.scale_gravity,
                 with_gravity=self.g_update,
             )
             self.g_update = False
-            out.x.p.block_until_ready()
-        rec = self._record(out, t_end)
-        self.telemetry.count("scans")
-        if bool(out.degenerate):
-            self.telemetry.count("degenerate_scans")
+        self._pending = (out, t_end)
 
-        # distance-based map eviction + table compaction
+        # distance-based map eviction + table compaction (throttled
+        # host sync: one scalar read per scan is cheap)
         jour_now = float(self.carry.jour)
         if jour_now - self._evict_jour > 50.0:
             self._evict_jour = jour_now
@@ -227,32 +289,7 @@ class SlamFrontend:
                     )
                 )
             self.telemetry.count("evictions")
-
-        if out.degenerate:
-            self.degrade_cnt += 1
-        elif self.degrade_cnt > 0:
-            self.degrade_cnt -= 1
-        if self.degrade_cnt > self.cfg.odometry.degrade_bound:
-            self._reset("degeneracy bound exceeded")
-            return rec
-
-        self.scan_poses.append(
-            dict(
-                # session-relative device time -> absolute
-                t=float(out.scan_pose.t) + (self._t0 or 0.0),
-                R=np.asarray(out.scan_pose.R),
-                p=np.asarray(out.scan_pose.p),
-                v=np.asarray(out.scan_pose.v),
-                bg=np.asarray(out.scan_pose.bg),
-                ba=np.asarray(out.scan_pose.ba),
-                g=np.asarray(out.scan_pose.g),
-                v6=np.asarray(out.scan_v6),
-                pts=np.asarray(out.scan_pts),
-                mask=np.asarray(out.scan_mask),
-                session=self.session,
-            )
-        )
-        return rec
+        return rec_prev
 
     def insert_keyframe_fixed(self, cloud, mask, R0, p0):
         """Mid-term association: fold one historical keyframe back
@@ -300,6 +337,8 @@ class SlamFrontend:
         restart a new session spatially offset so sessions never alias
         (restart pose z+30)."""
         print(f"[voxelslam-tpu] session reset: {reason}")
+        self._pending = None
+        self._fill_count = 0
         self.session += 1
         self.degrade_cnt = 0
         self.phase = "IMU_INIT"
@@ -323,9 +362,13 @@ class SlamFrontend:
             )
             if r is not None:
                 recs.append(r)
+        r = self.flush()
+        if r is not None:
+            recs.append(r)
         return recs
 
     def trajectory(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self.flush()
         ts = np.array([r.t for r in self.records])
         Rs = np.stack([r.R for r in self.records])
         ps = np.stack([r.p for r in self.records])
@@ -402,6 +445,10 @@ class VoxelSLAM:
                 self.frontend.insert_keyframe_fixed(
                     k.cloud, k.cloud_mask, k.R0, k.p0
                 )
+        self._drain()
+        return rec
+
+    def _drain(self):
         # session reset propagation (reset_flag, voxelslam.cpp:1856-1887)
         if self.frontend.session != self._last_session:
             self._last_session = self.frontend.session
@@ -418,7 +465,6 @@ class VoxelSLAM:
                 if self.loop.g_update_pending:
                     self.frontend.g_update = True
                     self.loop.g_update_pending = False
-        return rec
 
     def run_synthetic(self, data):
         recs = []
@@ -429,9 +475,16 @@ class VoxelSLAM:
             )
             if r is not None:
                 recs.append(r)
+        self.frontend.flush()
+        self._drain()
         return recs
 
     def finish(self, save_dir: Optional[str] = None):
+        self.frontend.flush()
+        self._drain()
+        return self._finish_impl(save_dir)
+
+    def _finish_impl(self, save_dir: Optional[str] = None):
         """Final global mapping (the reference's `finish` protocol,
         README.md:56-62): bottom-up HBA over keyframes, top-down pose
         graph with all edge sets, optional session save."""
