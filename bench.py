@@ -87,9 +87,12 @@ def main():
     for sc in timed:
         fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                         data.imu_t, data.imu_gyr, data.imu_acc)
+    fe.flush()
     jax.block_until_ready(fe.carry.x.p)
     dt = time.time() - t0
     sps = len(timed) / dt
+    log(fe.telemetry.report())
+    log(f"sessions: {fe.session + 1}")
 
     # sanity: the result must be a real trajectory, not garbage
     ts, Rs, ps = fe.trajectory()
