@@ -1,0 +1,174 @@
+"""Command-line entry point — the reference's node `main` + launch
+files (voxelslam.cpp:2599-2624) as a standalone app.
+
+Dataset directory layout (produced by `convert-synth` or by rosbag
+extraction tooling):
+
+    dataset/
+      imu.npz            t (M,), gyr (M,3), acc (M,3)
+      scans/000000.npz   pts (K,3), offsets (K,), t_begin, t_end
+      config.yaml        (optional, reference YAML format)
+
+Commands:
+    python -m voxelslam_tpu.cli run <dataset> [--config c.yaml]
+        [--out out/] [--viz] [--finish]
+    python -m voxelslam_tpu.cli convert-synth <outdir> [--scans N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_dataset(path: str):
+    imu = np.load(os.path.join(path, "imu.npz"))
+    scan_files = sorted(glob.glob(os.path.join(path, "scans", "*.npz")))
+    return imu, scan_files
+
+
+def cmd_run(args):
+    from .core.config import Config, load_yaml
+    from .slam import VoxelSLAM
+
+    cfg = Config()
+    cfg_path = args.config or os.path.join(args.dataset, "config.yaml")
+    if os.path.exists(cfg_path):
+        cfg = load_yaml(cfg_path, cfg)
+        print(f"config: {cfg_path}", file=sys.stderr)
+
+    previous = None
+    if args.previous_map:
+        from .io import serialization
+
+        previous = [serialization.load_session(p)
+                    for p in args.previous_map.split(",")]
+
+    imu, scan_files = _load_dataset(args.dataset)
+    slam = VoxelSLAM(cfg, previous_sessions=previous)
+    t0 = time.time()
+    n = 0
+    for f in scan_files:
+        d = np.load(f)
+        slam.process_scan(
+            d["pts"], d["offsets"], float(d["t_begin"]), float(d["t_end"]),
+            imu["t"], imu["gyr"], imu["acc"],
+        )
+        n += 1
+        if n % 50 == 0:
+            print(f"  scan {n}/{len(scan_files)} "
+                  f"phase={slam.frontend.phase} "
+                  f"sessions={slam.frontend.session + 1} "
+                  f"loops={slam.loop.n_loops_found}", file=sys.stderr)
+    wall = time.time() - t0
+    if args.finish:
+        slam.finish(save_dir=args.out)
+    elif args.out:
+        slam.frontend.flush()
+        from .io import serialization
+
+        os.makedirs(args.out, exist_ok=True)
+        for si, sess in enumerate(slam.loop.sessions):
+            if sess:
+                serialization.save_session(
+                    os.path.join(args.out, f"{cfg.general.bagname}_s{si}"),
+                    sess,
+                )
+
+    ts, Rs, ps = slam.trajectory()
+    print(slam.frontend.telemetry.report(), file=sys.stderr)
+    summary = dict(
+        scans=n,
+        wall_s=round(wall, 2),
+        scans_per_sec=round(n / max(wall, 1e-9), 2),
+        sessions=slam.frontend.session + 1,
+        keyframes=len(slam.loop.keyframes),
+        loops=slam.loop.n_loops_found,
+        pgo_runs=slam.loop.n_optimizations,
+        traj_len=len(ts),
+    )
+    print(json.dumps(summary))
+
+    if args.viz and args.out:
+        from .io import viz
+
+        ex = viz.VizExporter(args.out, every=1)
+        ex.path(ps, np.asarray([0] * len(ps)))
+        clouds = []
+        for k in slam.loop.keyframes:
+            pw = k.cloud[k.cloud_mask] @ k.R0.T + k.p0
+            clouds.append(pw)
+        if clouds:
+            ex.global_map(clouds)
+        print(f"viz written to {args.out}", file=sys.stderr)
+
+
+def cmd_convert_synth(args):
+    from .core import synthetic
+
+    traj = synthetic.Trajectory(
+        amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
+    )
+    dirs = synthetic.lidar_dirs(
+        n_lines=args.lines, n_cols=args.cols, fov_v=55.0, fov_h=140.0
+    )
+    data = synthetic.simulate(
+        n_scans=args.scans, traj=traj, dirs=dirs, t0=0.5, seed=args.seed,
+        world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
+    )
+    os.makedirs(os.path.join(args.outdir, "scans"), exist_ok=True)
+    np.savez_compressed(
+        os.path.join(args.outdir, "imu.npz"),
+        t=data.imu_t, gyr=data.imu_gyr, acc=data.imu_acc,
+    )
+    np.savez_compressed(
+        os.path.join(args.outdir, "groundtruth.npz"),
+        t=data.gt_t, R=data.gt_R, p=data.gt_p,
+    )
+    for i, sc in enumerate(data.scans):
+        np.savez_compressed(
+            os.path.join(args.outdir, "scans", f"{i:06d}.npz"),
+            pts=sc.points.astype(np.float32),
+            offsets=sc.offsets.astype(np.float32),
+            t_begin=sc.t_begin, t_end=sc.t_end,
+        )
+    print(f"wrote {len(data.scans)} scans to {args.outdir}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="voxelslam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run SLAM over a dataset directory")
+    r.add_argument("dataset")
+    r.add_argument("--config", default=None)
+    r.add_argument("--out", default=None)
+    r.add_argument("--viz", action="store_true")
+    r.add_argument("--finish", action="store_true",
+                   help="run final global BA (the reference's "
+                        "`rosparam set finish true`)")
+    r.add_argument("--previous-map", default=None,
+                   help="comma-separated saved session dirs to "
+                        "relocalize against")
+    r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("convert-synth", help="generate a synthetic dataset")
+    c.add_argument("outdir")
+    c.add_argument("--scans", type=int, default=60)
+    c.add_argument("--lines", type=int, default=32)
+    c.add_argument("--cols", type=int, default=128)
+    c.add_argument("--seed", type=int, default=7)
+    c.set_defaults(fn=cmd_convert_synth)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,12 @@ class PlaneWorld:
     v: np.ndarray
 
 
-def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0) -> PlaneWorld:
-    """A closed room with a few random boxes inside — enough plane
-    diversity that point-to-plane odometry is fully constrained."""
+def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0,
+              n_poles: int = 0) -> PlaneWorld:
+    """A closed room with random boxes (plane diversity for
+    point-to-plane odometry) and optional thin pole features (compact
+    vertical structures — the occupancy-corner anchors BTC loop
+    descriptors key on)."""
     rng = np.random.default_rng(seed)
     sx, sy, sz = [s / 2 for s in size]
     C, N, U, V = [], [], [], []
@@ -57,6 +60,23 @@ def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0) -> PlaneWo
                 break
             c = rng.uniform([-sx + 2, -sy + 2, -sz + 0.5], [sx - 2, sy - 2, 0])
         h = rng.uniform(0.3, 1.2, 3)
+        for axis in range(3):
+            for sgn in (-1, 1):
+                n = np.zeros(3); n[axis] = sgn
+                cc = c + n * h[axis]
+                ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+                u = np.zeros(3); u[ax1] = h[ax1]
+                v = np.zeros(3); v[ax2] = h[ax2]
+                rect(cc, n, u, v)
+
+    for _ in range(n_poles):
+        c = rng.uniform([-sx + 1, -sy + 1, 0.0], [sx - 1, sy - 1, 0.0])
+        for _retry in range(20):
+            if np.linalg.norm(c[:2]) > 3.0:
+                break
+            c = rng.uniform([-sx + 1, -sy + 1, 0.0], [sx - 1, sy - 1, 0.0])
+        h = np.asarray([0.04, 0.04, rng.uniform(0.8, sz * 0.9)])
+        c[2] = -sz + h[2]  # pole stands on the floor
         for axis in range(3):
             for sgn in (-1, 1):
                 n = np.zeros(3); n[axis] = sgn

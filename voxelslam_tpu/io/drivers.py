@@ -128,8 +128,12 @@ def decode(
         t0 = float(ts.min()) if lidar_type == LidType.ROBOSENSE else t_begin
         offt = ts - t0
         t1 = t0 + scan_period
-    else:  # TARTANAIR: no per-point time
-        offt = np.zeros(len(xyz))
+    else:  # TARTANAIR: no per-point time (point_notime mode) — the
+        # cloud is treated as captured at scan END (the reference skips
+        # motion compensation entirely, ekf_imu.hpp:135-136), so the
+        # per-point offset is the full scan period and deskew becomes
+        # an identity mapping through the scan-end pose.
+        offt = np.full(len(xyz), scan_period)
         t0, t1 = t_begin, t_begin + scan_period
 
     pts, offs = _np_decode(xyz, offt, bsq, point_filter_num, _MAX_OFFSET)

@@ -58,17 +58,23 @@ def lookup(
     slot = jnp.full(h0.shape, -1, jnp.int32)
     done = jnp.zeros(h0.shape, bool)
 
-    def body(r, carry):
-        slot, done = carry
+    def cond(carry):
+        slot, done, r = carry
+        return (r < max_probe) & ~jnp.all(done)
+
+    def body(carry):
+        slot, done, r = carry
         cand = (h0 + r) & (C - 1)
         key_at = keys[cand]
         hit = _key_equal(key_at, q) & ~done
         miss_empty = (key_at[:, 3] == EMPTY_LEVEL) & ~done
         slot = jnp.where(hit, cand, slot)
         done = done | hit | miss_empty  # empty slot ⇒ key not in table
-        return slot, done
+        return slot, done, r + 1
 
-    slot, done = jax.lax.fori_loop(0, max_probe, body, (slot, done))
+    slot, done, _ = jax.lax.while_loop(
+        cond, body, (slot, done, jnp.int32(0))
+    )
     return slot
 
 
@@ -92,8 +98,12 @@ def insert(
     done = ~valid
     created = jnp.zeros((K,), bool)
 
-    def body(r, carry):
-        keys, slot, done, created = carry
+    def cond(carry):
+        keys, slot, done, created, r = carry
+        return (r < max_probe) & ~jnp.all(done)
+
+    def body(carry):
+        keys, slot, done, created, r = carry
         cand = (h0 + r) & (C - 1)
         key_at = keys[cand]
         hit = _key_equal(key_at, q) & ~done
@@ -116,10 +126,10 @@ def insert(
         adopt = empty & ~done & _key_equal(key_at2, q)
         slot = jnp.where(adopt, cand, slot)
         done = done | adopt
-        return keys, slot, done, created
+        return keys, slot, done, created, r + 1
 
-    keys, slot, done, created = jax.lax.fori_loop(
-        0, max_probe, body, (keys, slot, done, created)
+    keys, slot, done, created, _ = jax.lax.while_loop(
+        cond, body, (keys, slot, done, created, jnp.int32(0))
     )
     overflow = ~done & valid
     return keys, slot, created, overflow

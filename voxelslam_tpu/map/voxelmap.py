@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..core import cluster, hashing
 from ..core.cluster import Cluster
-from ..ops import eigh3
+from ..ops import eigh3, segsum
 from . import hashmap
 
 
@@ -241,46 +241,28 @@ def scatter(
     ones = jnp.ones((K,), dtype)
 
     obody = cluster.point_outer_packed(body)
-    win_P = (
-        jnp.zeros((C * W, 6), dtype)
-        .at[wsel_s]
-        .add(obody, mode="drop", indices_are_sorted=True)
+    # (slot, window)-sorted segmented sums -> unique-index scatters
+    # (ops/segsum.py: the TPU-fast path replacing duplicate scatters)
+    win_P = segsum.sorted_segment_add(
+        jnp.zeros((C * W, 6), dtype), wsel_s, obody
     ).reshape(C, W, 6)
-    win_v = (
-        jnp.zeros((C * W, 3), dtype)
-        .at[wsel_s]
-        .add(body, mode="drop", indices_are_sorted=True)
+    win_v = segsum.sorted_segment_add(
+        jnp.zeros((C * W, 3), dtype), wsel_s, body
     ).reshape(C, W, 3)
-    win_n = (
-        jnp.zeros((C * W,), dtype)
-        .at[wsel_s]
-        .add(ones, mode="drop", indices_are_sorted=True)
+    win_n = segsum.sorted_segment_add(
+        jnp.zeros((C * W,), dtype), wsel_s, ones
     ).reshape(C, W)
 
     # world center-relative window sum (for plane fitting)
     orel = cluster.point_outer_packed(rel_s)
-    add_P = (
-        jnp.zeros((C, 6), dtype)
-        .at[slot_s]
-        .add(orel, mode="drop", indices_are_sorted=True)
-    )
-    add_v = (
-        jnp.zeros((C, 3), dtype)
-        .at[slot_s]
-        .add(rel_s, mode="drop", indices_are_sorted=True)
-    )
-    add_n = (
-        jnp.zeros((C,), dtype)
-        .at[slot_s]
-        .add(ones, mode="drop", indices_are_sorted=True)
-    )
+    add_P = segsum.sorted_segment_add(jnp.zeros((C, 6), dtype), slot_s, orel)
+    add_v = segsum.sorted_segment_add(jnp.zeros((C, 3), dtype), slot_s, rel_s)
+    add_n = segsum.sorted_segment_add(jnp.zeros((C,), dtype), slot_s, ones)
 
     # moment-noise accumulation (Bf_var) for the plane covariance
     bcov = _bf_var(rel_s, var_w.reshape(K, 3, 3)[order])
-    add_cov = (
-        jnp.zeros((C, 9, 9), dtype)
-        .at[slot_s]
-        .add(bcov, mode="drop", indices_are_sorted=True)
+    add_cov = segsum.sorted_segment_add(
+        jnp.zeros((C, 9, 9), dtype), slot_s, bcov
     )
 
     vmap = vmap._replace(keys=keys, jour=jour_arr)
@@ -484,12 +466,17 @@ def marginalize(
     )
     center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
     rel = pts_w - center
-    orel = cluster.point_outer_packed(rel)
-    fix_P = vmap.fix_P.at[slot_safe].add(orel, mode="drop")
-    fix_v = vmap.fix_v.at[slot_safe].add(rel, mode="drop")
-    fix_n = vmap.fix_n.at[slot_safe].add(jnp.ones_like(rel[:, 0]), mode="drop")
-    bcov = _bf_var(rel, var_w)
-    fix_cov = vmap.fix_cov.at[slot_safe].add(bcov, mode="drop")
+    order = jnp.argsort(slot_safe)
+    slot_s = slot_safe[order]
+    rel_s = rel[order]
+    orel = cluster.point_outer_packed(rel_s)
+    fix_P = segsum.sorted_segment_add(vmap.fix_P, slot_s, orel)
+    fix_v = segsum.sorted_segment_add(vmap.fix_v, slot_s, rel_s)
+    fix_n = segsum.sorted_segment_add(
+        vmap.fix_n, slot_s, jnp.ones_like(rel_s[:, 0])
+    )
+    bcov = _bf_var(rel_s, var_w[order])
+    fix_cov = segsum.sorted_segment_add(vmap.fix_cov, slot_s, bcov)
     return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n, fix_cov=fix_cov)
 
 

@@ -417,6 +417,7 @@ def apply_loop_correction(
             R=dx_R @ x.R,
             p=jnp.einsum("ij,...j->...i", dx_R, x.p) + dx_p,
             v=jnp.einsum("ij,...j->...i", dx_R, x.v),
+            g=jnp.einsum("ij,...j->...i", dx_R, x.g),
         )
 
     def corr_batch(xs: NavState) -> NavState:
@@ -424,6 +425,7 @@ def apply_loop_correction(
             R=jnp.einsum("ij,wjk->wik", dx_R, xs.R),
             p=jnp.einsum("ij,wj->wi", dx_R, xs.p) + dx_p,
             v=jnp.einsum("ij,wj->wi", dx_R, xs.v),
+            g=jnp.einsum("ij,wj->wi", dx_R, xs.g),
         )
 
     x = corr(carry.x)
