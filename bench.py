@@ -60,7 +60,8 @@ def main():
     traj = synthetic.Trajectory(
         amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
     )
-    dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300)  # 28800 rays
+    dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300, fov_v=60.0,
+                                fov_h=160.0)  # 28800 rays, wide FoV
     n_scans = 40
     data = synthetic.simulate(
         n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,

@@ -56,6 +56,7 @@ class MapParams(NamedTuple):
     #                         at load like voxelslam.cpp:825
     max_points: int = 100  # fixed-point cap per voxel (voxel_map.hpp:86)
     evict_dist: float = 700.0  # distance-based eviction (voxelslam.cpp:1509)
+    max_active: int = 16384  # recut compaction bound (touched voxels/scan)
 
     def level_size(self, level):
         return self.voxel_size / (2.0**level)
@@ -318,7 +319,13 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
 
 def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     """Per-slot plane refit + subdivision decision (reference recut +
-    plane_update, voxel_map.hpp:1118-1194), batched over all slots.
+    plane_update, voxel_map.hpp:1118-1194).
+
+    Only voxels the scan actually touched (window points present) can
+    change, so the eigendecomposition + plane-covariance math runs on
+    a compacted ≤ max_active subset and scatters back — the reference
+    iterates its `surf_map_slide` touched set for the same reason
+    (voxelslam.cpp:1398-1453).
 
     pcr_add = fixed + window moments; plane gate
     λ0 < min_eigen_value AND λ0/λ2 < thre[level]
@@ -327,15 +334,20 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     scatter pass.
     """
     dtype = scratch.add_P.dtype
+    C = vmap.keys.shape[0]
+    A = params.max_active
     occupied = vmap.keys[:, 3] >= 0
-    level = jnp.clip(vmap.keys[:, 3], 0)
     leaf = occupied & (vmap.state == 0)
-    has_win = scratch.add_n > 0
+    touched = leaf & (scratch.add_n > 0)
+    (aidx,) = jnp.nonzero(touched, size=A, fill_value=C)
+    aok = aidx < C
+    s_ = jnp.clip(aidx, 0, C - 1)
 
-    P = vmap.fix_P + scratch.add_P
-    v = vmap.fix_v + scratch.add_v
-    n = vmap.fix_n + scratch.add_n
-    cov9 = vmap.fix_cov + scratch.add_cov
+    level = jnp.clip(vmap.keys[s_, 3], 0)
+    P = vmap.fix_P[s_] + scratch.add_P[s_]
+    v = vmap.fix_v[s_] + scratch.add_v[s_]
+    n = vmap.fix_n[s_] + scratch.add_n[s_]
+    cov9 = vmap.fix_cov[s_] + scratch.add_cov[s_]
 
     c = Cluster(P, v, n)
     S = cluster.cov(c)
@@ -348,26 +360,31 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     lam2 = jnp.maximum(w[..., 2], 1e-12)
     is_plane = (lam0 < params.min_eigen_value) & (lam0 / lam2 < thre)
 
-    active = leaf & has_win & enough
+    active = aok & enough
     subdivide = active & ~is_plane & (level < params.max_layer)
     plane_ok = active & is_plane
 
     u0, center, pvar, radius = _plane_params(P, v, n, cov9, w, V)
 
-    sel = plane_ok[:, None]
-    sel2 = plane_ok[:, None, None]
+    # scatter the compacted results back (unique sorted indices)
+    dst = jnp.where(aok, aidx, C)
+
+    def put(buf, vals, sel):
+        d = jnp.where(sel, dst, C)
+        return buf.at[d].set(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
+
     vmap = vmap._replace(
-        state=jnp.where(subdivide, 1, vmap.state),
-        # keep previous plane when this scan didn't revisit the voxel;
-        # drop it when the voxel subdivided or lost plane-ness
-        plane_valid=jnp.where(
-            active, is_plane, vmap.plane_valid & ~subdivide
+        state=put(vmap.state, jnp.ones((A,), vmap.state.dtype), subdivide),
+        plane_valid=put(
+            vmap.plane_valid, is_plane & ~subdivide, active | subdivide
         ),
-        plane_n=jnp.where(sel, u0, vmap.plane_n),
-        plane_c=jnp.where(sel, center, vmap.plane_c),
-        plane_var=jnp.where(sel2, pvar, vmap.plane_var),
-        plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
-        eig=jnp.where(active[:, None], w, vmap.eig),
+        plane_n=put(vmap.plane_n, u0, plane_ok),
+        plane_c=put(vmap.plane_c, center, plane_ok),
+        plane_var=put(vmap.plane_var, pvar, plane_ok),
+        plane_radius=put(vmap.plane_radius, radius, plane_ok),
+        eig=put(vmap.eig, w, active),
     )
     return vmap, jnp.sum(subdivide)
 
