@@ -198,4 +198,4 @@ class TestHashing:
         slots = hashing.slot_of(jnp.asarray(coords, jnp.int32), jnp.int32(0), 1 << 14)
         u = np.unique(np.asarray(slots))
         # collision rate under ~30% for 4800 keys in 16384 slots
-        assert len(u) > 0.7 * len(coords)
+        assert len(u) > 0.9 * len(coords)

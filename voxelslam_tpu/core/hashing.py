@@ -44,17 +44,24 @@ def voxel_center(coord: jnp.ndarray, voxel_size) -> jnp.ndarray:
 
 
 def mix(coord: jnp.ndarray, level: jnp.ndarray) -> jnp.ndarray:
-    """Hash (..., 3) int32 coords + level to int32 (well mixed)."""
+    """Hash (..., 3) int32 coords + level to int32 (well mixed).
+
+    Combine with ADDITION, not XOR: xor of linear multiples collides
+    heavily for small coordinate ranges (low-bit patterns of x·A and
+    y·B align), while an additive combination of large odd constants
+    is injective unless an exact lattice relation holds."""
     h = (
         coord[..., 0] * _HX
-        ^ coord[..., 1] * _HY
-        ^ coord[..., 2] * _HZ
-        ^ level * _HL
+        + coord[..., 1] * _HY
+        + coord[..., 2] * _HZ
+        + level * _HL
     )
     # final avalanche (xorshift-multiply)
     h = h ^ (h >> 15)
     h = h * _i32(0x2C1B3C6D)
     h = h ^ (h >> 12)
+    h = h * _i32(0x9E3779B1)
+    h = h ^ (h >> 16)
     return h
 
 

@@ -370,10 +370,11 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     dst = jnp.where(aok, aidx, C)
 
     def put(buf, vals, sel):
+        # no sorted/unique promises: the where() masking interleaves
+        # the drop sentinel, which breaks index monotonicity (a TPU
+        # lowering would silently mis-scatter if the flags lied)
         d = jnp.where(sel, dst, C)
-        return buf.at[d].set(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
+        return buf.at[d].set(vals, mode="drop")
 
     vmap = vmap._replace(
         state=put(vmap.state, jnp.ones((A,), vmap.state.dtype), subdivide),

@@ -73,6 +73,10 @@ class Carry(NamedTuple):
     win_count: jnp.ndarray  # () int32
     jour: jnp.ndarray  # () travel distance stamp
     last_pos: jnp.ndarray  # (3,)
+    init_flat: jnp.ndarray  # (W, FLAT) raw fill-phase scan inputs,
+    #   stashed for the dynamic-init re-deskew loop (the reference
+    #   keeps time-sorted raw scans for the same purpose,
+    #   voxelslam.cpp:1263-1276)
 
 
 class ScanInputs(NamedTuple):
@@ -118,6 +122,7 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         win_count=jnp.zeros((), jnp.int32),
         jour=jnp.zeros((), dtype),
         last_pos=jnp.zeros((3,), dtype),
+        init_flat=jnp.zeros((W, flat_len(pp)), dtype),
     )
 
 
@@ -243,9 +248,11 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
               imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity):
     """Startup scan: front-end + push + map update, no BA/margi/slide
     (initialization accumulation, voxelslam.cpp:1230-1288)."""
+    # deweighted prior during startup (the reference's kdtree-phase
+    # ESIKF divides the prior information by 1000, voxelslam.cpp:1056)
     x_post, pts_b, var_b, var_w, mask, res, preint = _front_end(
         carry, inp, pp, imu_noise, ext_R, ext_t, scale_gravity,
-        prior_deweight=1.0,
+        prior_deweight=1000.0,
     )
     win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
                        x_post, preint)
@@ -323,12 +330,79 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
 # -------------------------------------------------------- initialization
 
+def _redeskew_window(win: WindowState, init_flat, pp: PipelineParams,
+                     imu_noise, ext_R, ext_t, scale_gravity):
+    """Re-deskew every stashed raw fill scan from the REFINED window
+    states and biases (Initialization::motion_blur,
+    voxelslam.cpp:488-561): within-scan motion comes from forward IMU
+    integration off the previous refined state, rigidly re-anchored so
+    the scan end lands exactly on the refined pose; the window point/
+    variance buffers and preintegration factors are rebuilt."""
+    W = pp.win_size
+
+    def one(win, w):
+        inp = unpack_scan_flat(init_flat[w], pp)
+        x_prev = jax.tree.map(
+            lambda a: a[jnp.maximum(w - 1, 0)], win.xs
+        )
+        x_w = jax.tree.map(lambda a: a[w], win.xs)
+        x_prop, poses = prop.propagate(
+            x_prev, inp.imu, imu_noise, inp.dt_ext, scale_gravity,
+            inp.t_end,
+        )
+        # rigid re-anchor: integrated trajectory shifted so its end
+        # coincides with the refined pose x_w
+        R_c = x_w.R @ x_prop.R.T
+        t_c = x_w.p - R_c @ x_prop.p
+        poses = poses._replace(
+            R=jnp.einsum("ij,mjk->mik", R_c, poses.R),
+            p=jnp.einsum("ij,mj->mi", R_c, poses.p) + t_c,
+            v=jnp.einsum("ij,mj->mi", R_c, poses.v),
+            a=jnp.einsum("ij,mj->mi", R_c, poses.a),
+        )
+        desk = prop.deskew(inp.pts, inp.offsets, inp.mask, poses, x_w,
+                           ext_R, ext_t)
+        ds = downsample.voxel_average(desk, inp.mask, pp.down_size, pp.n_ds)
+        var_l = noise.body_var(ds.pts, pp.dept_err, pp.beam_err)
+        pts_b, var_b = noise.to_body_frame(ds.pts, var_l, ext_R, ext_t)
+        var_w = noise.world_var(pts_b, var_b, x_w)
+        # rebuild the preintegration factor with the refined biases
+        # (voxelslam.cpp:643-647)
+        nm = jnp.zeros((6, 6), pts_b.dtype)
+        nm = nm.at[0:3, 0:3].set(jnp.diag(imu_noise.cov_gyr))
+        nm = nm.at[3:6, 3:6].set(jnp.diag(imu_noise.cov_acc))
+        nw = jnp.zeros((6, 6), pts_b.dtype)
+        nw = nw.at[0:3, 0:3].set(jnp.diag(imu_noise.cov_bias_gyr))
+        nw = nw.at[3:6, 3:6].set(jnp.diag(imu_noise.cov_bias_acc))
+        preint = pre.integrate(
+            x_prev.bg, x_prev.ba, inp.imu.dt, inp.imu.gyr, inp.imu.acc,
+            inp.imu.valid, nm, nw, scale_gravity,
+        )
+        win = win._replace(
+            pts=jax.lax.dynamic_update_index_in_dim(win.pts, pts_b, w, 0),
+            var=jax.lax.dynamic_update_index_in_dim(win.var, var_w, w, 0),
+            mask=jax.lax.dynamic_update_index_in_dim(win.mask, ds.mask, w, 0),
+            pres=jax.tree.map(
+                lambda buf, v: jax.lax.dynamic_update_index_in_dim(
+                    buf, v, jnp.maximum(w - 1, 0), 0
+                ),
+                win.pres, preint,
+            ),
+        )
+        return win, None
+
+    win, _ = jax.lax.scan(one, win, jnp.arange(W, dtype=jnp.int32))
+    return win
+
+
 @partial(jax.jit, static_argnames=("pp", "n_iter"))
-def init_refine(carry: Carry, pp: PipelineParams, n_iter: int = 3):
+def init_refine(carry: Carry, pp: PipelineParams,
+                imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity,
+                n_iter: int = 3):
     """Dynamic initialization over the filled window: iterate
-    (rebuild map → harvest → gravity-refining BA) then align the world
-    frame with gravity (motion_init + align_gravity,
-    voxelslam.cpp:461-486, 563-713).
+    (re-deskew from refined states → rebuild map → harvest →
+    gravity-refining BA) then align the world frame with gravity
+    (motion_init + align_gravity, voxelslam.cpp:461-486, 563-713).
 
     Returns (carry', g_norm, min_normal_span) — the host checks
     9.6 < ‖g‖ < 10.0 and the plane-span degeneracy bound
@@ -338,7 +412,18 @@ def init_refine(carry: Carry, pp: PipelineParams, n_iter: int = 3):
 
     g_norm0 = jnp.linalg.norm(win.xs.g[0])
 
-    def one_iter(_, win):
+    def one_iter(it, win):
+        # re-deskew from the latest state estimates (skip on the first
+        # pass — the fill-phase deskew already used them)
+        win = jax.lax.cond(
+            it > 0,
+            lambda w: _redeskew_window(
+                w, carry.init_flat, pp, imu_noise, ext_R, ext_t,
+                scale_gravity,
+            ),
+            lambda w: w,
+            win,
+        )
         vmap = voxelmap.empty(pp.map_params, pp.win_size)
         vmap, scratch, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
         factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
@@ -591,6 +676,12 @@ def unpack_scan_flat(flat: jnp.ndarray, pp: PipelineParams) -> ScanInputs:
 
 @partial(jax.jit, static_argnames=("pp",))
 def fill_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t, scale_gravity):
+    idx = jnp.clip(carry.win_count, 0, pp.win_size - 1)
+    carry = carry._replace(
+        init_flat=jax.lax.dynamic_update_index_in_dim(
+            carry.init_flat, flat, idx, 0
+        )
+    )
     return fill_step(carry, unpack_scan_flat(flat, pp), pp, imu_noise,
                      ext_R, ext_t, scale_gravity)
 

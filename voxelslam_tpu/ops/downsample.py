@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..core import hashing
+from . import segsum
 
 
 class Downsampled(NamedTuple):
@@ -58,12 +59,15 @@ def voxel_average(
     """Centroid per voxel (down_sampling_voxel semantics)."""
     order, seg_id, mask_s, n_seg = _segments(pts, mask, voxel_size)
     pts_s = pts[order]
-    dst = jnp.where((seg_id >= 0) & (seg_id < m_out), seg_id, m_out)
-    sums = jnp.zeros((m_out, 3), pts.dtype).at[dst].add(
-        jnp.where(mask_s[:, None], pts_s, 0.0), mode="drop"
+    # seg ids ascend in sorted order (invalid = -1 sorted last becomes
+    # -1... mask them to m_out which also keeps monotonicity at the tail)
+    dst = jnp.where(mask_s, seg_id, m_out)
+    sums = segsum.sorted_segment_add(
+        jnp.zeros((m_out, 3), pts.dtype), dst,
+        jnp.where(mask_s[:, None], pts_s, 0.0),
     )
-    cnts = jnp.zeros((m_out,), pts.dtype).at[dst].add(
-        mask_s.astype(pts.dtype), mode="drop"
+    cnts = segsum.sorted_segment_add(
+        jnp.zeros((m_out,), pts.dtype), dst, mask_s.astype(pts.dtype)
     )
     out_mask = cnts > 0
     out = sums / jnp.maximum(cnts, 1.0)[:, None]

@@ -58,7 +58,14 @@ def sorted_segment_add(
         [idx_sorted[1:] != idx_sorted[:-1], jnp.ones((1,), bool)]
     )
     seg = _seg_scan(vals, first)
-    dst = jnp.where(is_last & (idx_sorted < drop), idx_sorted, out.shape[0])
+    # IMPORTANT: the destination sequence must honestly satisfy the
+    # indices_are_sorted promise — interleaving a drop sentinel breaks
+    # monotonicity and TPU lowering then writes garbage.  Keep the
+    # (sorted, duplicated) indices and zero the non-last values
+    # instead; out-of-range rows are already at the tail (sorted).
+    dst = jnp.where(idx_sorted < drop, idx_sorted, out.shape[0])
+    shape = (K,) + (1,) * (vals.ndim - 1)
+    seg = seg * is_last.astype(vals.dtype).reshape(shape)
     return out.at[dst].add(
-        seg, mode="drop", indices_are_sorted=True, unique_indices=True
+        seg, mode="drop", indices_are_sorted=True, unique_indices=False
     )

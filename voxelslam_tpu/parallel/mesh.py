@@ -71,6 +71,7 @@ def carry_shardings(mesh: Mesh):
             win_count=rep,
             jour=rep,
             last_pos=rep,
+            init_flat=rep,
         )
 
     return build

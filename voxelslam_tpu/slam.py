@@ -253,7 +253,10 @@ class SlamFrontend:
                 )
             self._fill_count += 1
             if self._fill_count >= self.pp.win_size:
-                self.carry, g_norm, span = pl.init_refine(self.carry, self.pp)
+                self.carry, g_norm, span = pl.init_refine(
+                    self.carry, self.pp, self.imu_noise,
+                    self.ext_R, self.ext_t, self.scale_gravity,
+                )
                 g_norm = float(g_norm)
                 if not (9.6 < g_norm < 10.0):
                     self._reset(f"init gravity norm {g_norm:.3f} out of range")
