@@ -26,3 +26,14 @@ padded scan batches and drains results.
 """
 
 __version__ = "0.1.0"
+
+# TPU matmul precision: JAX's default lowers f32 matmuls to bfloat16
+# multiplications on TPU (8-bit mantissa).  SLAM covariance/Hessian
+# algebra (ESIKF gains, preintegration, BALM2 Hessians, gravity BA)
+# is numerically meaningless at bf16 — estimation quality silently
+# collapses on device while CPU tests pass.  The framework's matmuls
+# are tiny (3x3..153x153), so full-f32 MXU passes cost nothing
+# relative to the scatter/gather-bound pipeline.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
