@@ -9,11 +9,6 @@ from voxelslam_tpu.core import so3, state, cluster, hashing
 from voxelslam_tpu.ops import eigh3
 
 
-def rand_rot(rng, n=()):
-    w = rng.normal(size=n + (3,))
-    return np.asarray(jax.vmap(so3.exp)(jnp.asarray(w.reshape(-1, 3), jnp.float64 if False else jnp.float32))).reshape(n + (3, 3))
-
-
 class TestSO3:
     def test_exp_log_roundtrip(self):
         rng = np.random.default_rng(0)

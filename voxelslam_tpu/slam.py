@@ -20,16 +20,14 @@ for the loop-closure layer).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import state
 from .core.config import Config
-from .core.state import NavState
 from .imu import propagation as prop
 from .map.voxelmap import MapParams
 from .odom import pipeline as pl
