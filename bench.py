@@ -53,6 +53,7 @@ def main():
             max_imu=64,
             hash_capacity=1 << 17,
             max_ba_voxels=4096,
+            scan_batch=4,
         ),
     )
 

@@ -99,6 +99,8 @@ class Shapes:
     #                            voxel_map.hpp:86 max_points)
     min_point: Tuple[int, ...] = (5, 5, 5, 5)  # per-layer min N
     #                            (reference voxelslam.cpp:812)
+    scan_batch: int = 1  # scans per device program (throughput mode:
+    #   amortizes dispatch/transfer; adds batch-1 scans of latency)
 
 
 @dataclass(frozen=True)

@@ -691,3 +691,22 @@ def steady_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t,
                      scale_gravity, with_gravity: bool = False):
     return steady_step(carry, unpack_scan_flat(flat, pp), pp, imu_noise,
                        ext_R, ext_t, scale_gravity, with_gravity)
+
+
+@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+def steady_step_batch(carry, flats, pp, imu_noise, ext_R, ext_t,
+                      scale_gravity, with_gravity: bool = False):
+    """Process B scans in ONE device program (lax.scan over the steady
+    step).  Amortizes per-call dispatch/transfer overhead — the TPU
+    analogue of the reference's pipeline-thread latency hiding; adds
+    B-1 scans of output latency.  flats: (B, FLAT)."""
+
+    def body(c, flat):
+        c, out = steady_step(
+            c, unpack_scan_flat(flat, pp), pp, imu_noise, ext_R, ext_t,
+            scale_gravity, with_gravity
+        )
+        return c, out
+
+    carry, outs = jax.lax.scan(body, carry, flats)
+    return carry, outs

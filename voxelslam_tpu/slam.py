@@ -105,8 +105,10 @@ class SlamFrontend:
         self.telemetry = Telemetry()
         self.g_update = False  # one-shot gravity refresh in the next
         #                        window BA (g_update=2 protocol)
-        self._pending = None  # in-flight async steady step
+        self._pending = None  # in-flight async steady step(s)
         self._fill_count = 0
+        self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
+        self._batch_buf = []  # flats awaiting a full device batch
 
     # ------------------------------------------------------------- inputs
 
@@ -157,43 +159,46 @@ class SlamFrontend:
         )
 
     def _resolve_pending(self) -> Optional[ScanRecord]:
-        """Drain the previously dispatched (async) steady step: pull
-        its outputs to the host, record, and apply reset policies.
-        Deferring this by one scan lets host packing overlap device
-        execution (the 3-thread pipeline's latency hiding, done with
-        async dispatch instead of threads)."""
+        """Drain the previously dispatched (async) steady step(s):
+        pull outputs to the host, record, apply reset policies.
+        Deferring this lets host packing overlap device execution (the
+        3-thread pipeline's latency hiding via async dispatch)."""
         if self._pending is None:
             return None
-        out, t_end = self._pending
+        outs, t_ends = self._pending
         self._pending = None
         with self.telemetry.stage("resolve"):
-            out = jax.device_get(out)
-        rec = self._record(out, t_end)
-        self.telemetry.count("scans")
-        if bool(out.degenerate):
-            self.telemetry.count("degenerate_scans")
-            self.degrade_cnt += 1
-        elif self.degrade_cnt > 0:
-            self.degrade_cnt -= 1
-
-        self.scan_poses.append(
-            dict(
-                # session-relative device time -> absolute
-                t=float(out.scan_pose.t) + (self._t0 or 0.0),
-                R=np.asarray(out.scan_pose.R),
-                p=np.asarray(out.scan_pose.p),
-                v=np.asarray(out.scan_pose.v),
-                bg=np.asarray(out.scan_pose.bg),
-                ba=np.asarray(out.scan_pose.ba),
-                g=np.asarray(out.scan_pose.g),
-                v6=np.asarray(out.scan_v6),
-                pts=np.asarray(out.scan_pts),
-                mask=np.asarray(out.scan_mask),
-                session=self.session,
+            outs = jax.device_get(outs)
+        rec = None
+        B = len(t_ends)
+        for b in range(B):
+            out = jax.tree.map(lambda a: a[b], outs)
+            rec = self._record(out, t_ends[b])
+            self.telemetry.count("scans")
+            if bool(out.degenerate):
+                self.telemetry.count("degenerate_scans")
+                self.degrade_cnt += 1
+            elif self.degrade_cnt > 0:
+                self.degrade_cnt -= 1
+            self.scan_poses.append(
+                dict(
+                    # session-relative device time -> absolute
+                    t=float(out.scan_pose.t) + (self._t0 or 0.0),
+                    R=np.asarray(out.scan_pose.R),
+                    p=np.asarray(out.scan_pose.p),
+                    v=np.asarray(out.scan_pose.v),
+                    bg=np.asarray(out.scan_pose.bg),
+                    ba=np.asarray(out.scan_pose.ba),
+                    g=np.asarray(out.scan_pose.g),
+                    v6=np.asarray(out.scan_v6),
+                    pts=np.asarray(out.scan_pts),
+                    mask=np.asarray(out.scan_mask),
+                    session=self.session,
+                )
             )
-        )
-        if self.degrade_cnt > self.cfg.odometry.degrade_bound:
-            self._reset("degeneracy bound exceeded")
+            if self.degrade_cnt > self.cfg.odometry.degrade_bound:
+                self._reset("degeneracy bound exceeded")
+                break
         return rec
 
     def flush(self) -> Optional[ScanRecord]:
@@ -266,15 +271,29 @@ class SlamFrontend:
                 self.phase = "STEADY"
             return self._record(jax.device_get(out), t_end)
 
-        # STEADY: async dispatch; resolve on the next call
+        # STEADY: batch scans into one device program, dispatch async
+        self._batch_buf.append((flat, t_end))
+        if len(self._batch_buf) < self.scan_batch:
+            return rec_prev
+        flats = np.stack([f for f, _ in self._batch_buf])
+        t_ends = [t for _, t in self._batch_buf]
+        self._batch_buf = []
         with self.telemetry.stage("dispatch"):
-            self.carry, out = pl.steady_step_flat(
-                self.carry, jnp.asarray(flat), self.pp, self.imu_noise,
-                self.ext_R, self.ext_t, self.scale_gravity,
-                with_gravity=self.g_update,
-            )
+            if self.scan_batch == 1:
+                self.carry, out = pl.steady_step_flat(
+                    self.carry, jnp.asarray(flats[0]), self.pp,
+                    self.imu_noise, self.ext_R, self.ext_t,
+                    self.scale_gravity, with_gravity=self.g_update,
+                )
+                out = jax.tree.map(lambda a: a[None], out)
+            else:
+                self.carry, out = pl.steady_step_batch(
+                    self.carry, jnp.asarray(flats), self.pp,
+                    self.imu_noise, self.ext_R, self.ext_t,
+                    self.scale_gravity, with_gravity=self.g_update,
+                )
             self.g_update = False
-        self._pending = (out, t_end)
+        self._pending = (out, t_ends)
 
         # distance-based map eviction + table compaction (throttled
         # host sync: one scalar read per scan is cheap)
@@ -339,6 +358,7 @@ class SlamFrontend:
         (restart pose z+30)."""
         print(f"[voxelslam-tpu] session reset: {reason}")
         self._pending = None
+        self._batch_buf = []
         self._fill_count = 0
         self.session += 1
         self.degrade_cnt = 0
