@@ -77,3 +77,22 @@ def test_cross_session_merge():
     assert len(mgr.loop_edges) >= 1
     e = mgr.loop_edges[0]
     assert e.s1 == 0 and e.s2 == 1
+
+
+def test_previous_session_loading():
+    """VoxelSLAM(previous_sessions=...) rebuilds keyframes + BTC
+    database from a saved session (previous_map_read counterpart)."""
+    import dataclasses
+    from voxelslam_tpu.slam import VoxelSLAM
+    from test_e2e import small_config
+
+    rng = np.random.default_rng(21)
+    line = [(0.4 * i, 0.0, 0.0) for i in range(7)]
+    saved = _fake_scan_poses(rng, line)
+    cfg = small_config()
+    slam = VoxelSLAM(cfg, previous_sessions=[saved])
+    # the loaded session produced keyframes and database entries
+    assert len(slam.loop.keyframes) >= 1
+    assert slam.loop.db.count > 0
+    # the live session is a NEW session after the loaded one
+    assert slam.loop.session == 1

@@ -144,13 +144,23 @@ class GlobalMapper:
         self.edges: List[dict] = []  # gba_edges1: keyframe-level
         self.submaps: List[dict] = []  # merged submap clouds + poses
 
+    def bottom_up_all(self, keyframes: List) -> None:
+        """Per-session bottom-up sweeps (windows must not span
+        session boundaries — poses of unlinked sessions are in
+        different frames)."""
+        self.edges.clear()
+        self.submaps.clear()
+        sessions = {}
+        for k in keyframes:
+            sessions.setdefault(k.session, []).append(k)
+        for sess_kfs in sessions.values():
+            self.bottom_up(sess_kfs)
+
     def bottom_up(self, keyframes: List) -> None:
         """Sweep windows of keyframes (stride hp.stride); collect
         hessian edges and submaps.  `keyframes` are loop.manager
         Keyframe objects of ONE session."""
         hp = self.hp
-        self.edges.clear()
-        self.submaps.clear()
         n = len(keyframes)
         if n < 2:
             return

@@ -513,7 +513,7 @@ class VoxelSLAM:
 
         kfs = self.loop.keyframes
         if len(kfs) >= 2:
-            self.gmap.bottom_up(kfs)
+            self.gmap.bottom_up_all(kfs)
             # second hierarchy level over submaps (gba_edges2)
             edges2 = self.gmap.submap_level()
             self.gmap.edges.extend(edges2)
