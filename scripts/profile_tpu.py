@@ -134,6 +134,21 @@ def main():
     )
     timeit("marginalize", margi_j, vm, match_pts, var1, R[0], p[0], m1)
 
+    # micro: the scatter building blocks
+    from voxelslam_tpu.ops import segsum
+    K = 40960
+    idx = jnp.sort(jnp.asarray(rng.integers(0, 4000, K), jnp.int32))
+    vals81 = jnp.asarray(rng.normal(size=(K, 81)).astype(np.float32))
+    seg_j = jax.jit(lambda i, v: segsum.sorted_segment_add(
+        jnp.zeros((1 << 17, 81), jnp.float32), i, v))
+    timeit("micro segadd (40960x81)", seg_j, idx, vals81)
+    keys_r = jnp.asarray(rng.integers(-(2**31), 2**31 - 1, K), jnp.int32)
+    sort_j = jax.jit(lambda k: jnp.argsort(k))
+    timeit("micro argsort (40960)", sort_j, keys_r)
+    scat_j = jax.jit(lambda i, v: jnp.zeros((1 << 17, 81), jnp.float32)
+                     .at[i].add(v, mode="drop", indices_are_sorted=True))
+    timeit("micro rawscatter81", scat_j, idx, vals81)
+
 
 if __name__ == "__main__":
     main()

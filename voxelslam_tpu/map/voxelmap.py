@@ -160,24 +160,40 @@ def _bf_var(pw_rel: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
     """Per-point 9x9 covariance contribution of (P_packed, v) moments
     from the point's 3x3 covariance (reference Bf_var,
     voxel_map.hpp:91-106).  pw_rel: (..., 3) center-relative position.
+
+    Unrolled at trace time into lane-wide elementwise ops (the sparse
+    6x3 Bi makes batched tiny matmuls both wasteful and MXU-hostile;
+    most products fold away as structural zeros).
     """
     x, y, z = pw_rel[..., 0], pw_rel[..., 1], pw_rel[..., 2]
-    zero = jnp.zeros_like(x)
-    Bi = jnp.stack(
-        [
-            jnp.stack([2 * x, zero, zero], axis=-1),
-            jnp.stack([y, x, zero], axis=-1),
-            jnp.stack([z, zero, x], axis=-1),
-            jnp.stack([zero, 2 * y, zero], axis=-1),
-            jnp.stack([zero, z, y], axis=-1),
-            jnp.stack([zero, zero, 2 * z], axis=-1),
-        ],
-        axis=-2,
-    )  # (..., 6, 3)
-    BiV = Bi @ var  # (..., 6, 3)
-    top = jnp.concatenate([BiV @ jnp.swapaxes(Bi, -1, -2), BiV], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(BiV, -1, -2), var], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
+    # Bi rows as sparse (coeff, column) lists:
+    # [2x,0,0],[y,x,0],[z,0,x],[0,2y,0],[0,z,y],[0,0,2z]
+    rows = [
+        [(2.0 * x, 0)],
+        [(y, 0), (x, 1)],
+        [(z, 0), (x, 2)],
+        [(2.0 * y, 1)],
+        [(z, 1), (y, 2)],
+        [(2.0 * z, 2)],
+    ]
+    v = [[var[..., i, j] for j in range(3)] for i in range(3)]
+    # BiV[r][c] = Σ_k Bi[r][k] * var[k][c]
+    BiV = [
+        [sum(coef * v[k][c] for coef, k in rows[r]) for c in range(3)]
+        for r in range(6)
+    ]
+    # top-left: BiV @ Biᵀ ; entry (r, s) = Σ_k BiV[r][k] * Bi[s][k]
+    out_rows = []
+    for r in range(6):
+        row = []
+        for scol in range(6):
+            row.append(sum(BiV[r][k] * coef for coef, k in rows[scol]))
+        row.extend(BiV[r])
+        out_rows.append(jnp.stack(row, axis=-1))
+    for i in range(3):
+        row = [BiV[r][i] for r in range(6)] + [v[i][j] for j in range(3)]
+        out_rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(out_rows, axis=-2)  # (..., 9, 9)
 
 
 def scatter(
@@ -281,39 +297,51 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
     nv = 1.0 / jnp.maximum(n, 1.0)
     center = v * nv[..., None]
     u0 = V[..., :, 0]
-    # u_c (3x9): sensitivity of the normal to the 9 moment coords
-    u_c = jnp.zeros(P.shape[:-1] + (3, 9), P.dtype)
+    # u_c (3x9): sensitivity of the normal to the 9 moment coords;
+    # built and contracted as unrolled lane-wide ops (tiny batched
+    # matmuls waste the MXU)
+    uc = [[0.0] * 9 for _ in range(3)]
     for k in (1, 2):
         uk = V[..., :, k]
-        M = uk[..., :, None] * u0[..., None, :]  # u_k u_0ᵀ
-        fP = jnp.stack(
-            [
-                M[..., 0, 0],
-                M[..., 1, 0] + M[..., 0, 1],
-                M[..., 2, 0] + M[..., 0, 2],
-                M[..., 1, 1],
-                M[..., 1, 2] + M[..., 2, 1],
-                M[..., 2, 2],
-            ],
-            axis=-1,
-        )
-        fv = -(
-            jnp.sum(uk * center, axis=-1)[..., None] * u0
-            + jnp.sum(u0 * center, axis=-1)[..., None] * uk
-        )
-        f = jnp.concatenate([fP, fv], axis=-1)  # (..., 9)
+        M = lambda i, j: uk[..., i] * u0[..., j]
+        fP = [
+            M(0, 0),
+            M(1, 0) + M(0, 1),
+            M(2, 0) + M(0, 2),
+            M(1, 1),
+            M(1, 2) + M(2, 1),
+            M(2, 2),
+        ]
+        ukc = jnp.sum(uk * center, axis=-1)
+        u0c = jnp.sum(u0 * center, axis=-1)
+        fv = [-(ukc * u0[..., j] + u0c * uk[..., j]) for j in range(3)]
+        f = fP + fv
         gap = w[..., 0] - w[..., k]
         coef = nv / jnp.where(jnp.abs(gap) > 1e-9, gap, 1e-9)
-        u_c = u_c + coef[..., None, None] * (
-            uk[..., :, None] * f[..., None, :]
-        )
-    Jc = u_c @ cov9  # (..., 3, 9)
-    var_nn = Jc @ jnp.swapaxes(u_c, -1, -2)
-    Jc_N = nv[..., None, None] * Jc[..., :, 6:9]
-    var_cc = (nv * nv)[..., None, None] * cov9[..., 6:9, 6:9]
-    top = jnp.concatenate([var_nn, Jc_N], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(Jc_N, -1, -2), var_cc], axis=-1)
-    pvar = jnp.concatenate([top, bot], axis=-2)
+        for i in range(3):
+            ci = coef * uk[..., i]
+            for j in range(9):
+                uc[i][j] = uc[i][j] + ci * f[j]
+    c9 = [[cov9[..., i, j] for j in range(9)] for i in range(9)]
+    # Jc = u_c @ cov9 (3x9); var_nn = Jc @ u_cᵀ (3x3)
+    Jc = [
+        [sum(uc[i][k] * c9[k][j] for k in range(9)) for j in range(9)]
+        for i in range(3)
+    ]
+    var_nn = [
+        [sum(Jc[i][k] * uc[j][k] for k in range(9)) for j in range(3)]
+        for i in range(3)
+    ]
+    rows = []
+    for i in range(3):
+        row = var_nn[i] + [nv * Jc[i][6 + j] for j in range(3)]
+        rows.append(jnp.stack(row, axis=-1))
+    for i in range(3):
+        row = [nv * Jc[j][6 + i] for j in range(3)] + [
+            nv * nv * c9[6 + i][6 + j] for j in range(3)
+        ]
+        rows.append(jnp.stack(row, axis=-1))
+    pvar = jnp.stack(rows, axis=-2)
     return u0, center, pvar, w[..., 2]
 
 
