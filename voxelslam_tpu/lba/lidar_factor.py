@@ -78,22 +78,22 @@ def harvest(
     level = jnp.clip(vmap.keys[s, 3], 0)
     sizes = jnp.asarray(
         [params.level_size(l) for l in range(params.max_layer + 1)],
-        scratch.win_P.dtype,
+        vmap.win_P.dtype,
     )
-    center = (vmap.keys[s, :3].astype(scratch.win_P.dtype) + 0.5) * sizes[
+    center = (vmap.keys[s, :3].astype(vmap.win_P.dtype) + 0.5) * sizes[
         level
     ][:, None]
 
     return LidarFactors(
         valid=ok,
-        win_P=jnp.where(ok[:, None, None], scratch.win_P[s], 0.0),
-        win_v=jnp.where(ok[:, None, None], scratch.win_v[s], 0.0),
-        win_n=jnp.where(ok[:, None], scratch.win_n[s], 0.0),
+        win_P=jnp.where(ok[:, None, None], vmap.win_P[s], 0.0),
+        win_v=jnp.where(ok[:, None, None], vmap.win_v[s], 0.0),
+        win_n=jnp.where(ok[:, None], vmap.win_n[s], 0.0),
         fix_P=jnp.where(ok[:, None], vmap.fix_P[s], 0.0),
         fix_v=jnp.where(ok[:, None], vmap.fix_v[s], 0.0),
         fix_n=jnp.where(ok, vmap.fix_n[s], 0.0),
         center=center,
-        coe=ok.astype(scratch.win_P.dtype),
+        coe=ok.astype(vmap.win_P.dtype),
         slot=jnp.where(ok, idx, -1),
     )
 

@@ -70,7 +70,14 @@ class VoxelMap(NamedTuple):
     fix_P: jnp.ndarray  # (C, 6) fixed moments, center-relative world
     fix_v: jnp.ndarray  # (C, 3)
     fix_n: jnp.ndarray  # (C,)
-    fix_cov: jnp.ndarray  # (C, 9, 9) Bf_var sum of fixed points
+    cov_add: jnp.ndarray  # (C, 9, 9) Bf_var accumulation over every
+    #   point ever pushed (window + fixed) — grow-only, exactly the
+    #   reference's cov_add (voxel_map.hpp:941,990-992)
+    # persistent per-window-slot BODY-frame clusters (incremental push;
+    #   the reference's SlideWindow pcrs_local, voxel_map.hpp:901)
+    win_P: jnp.ndarray  # (C, W, 6)
+    win_v: jnp.ndarray  # (C, W, 3)
+    win_n: jnp.ndarray  # (C, W)
     plane_valid: jnp.ndarray  # (C,) bool
     plane_n: jnp.ndarray  # (C, 3) unit normal
     plane_c: jnp.ndarray  # (C, 3) plane center, relative to voxel center
@@ -82,15 +89,12 @@ class VoxelMap(NamedTuple):
 
 
 class ScanScratch(NamedTuple):
-    """Per-scan rebuilt window aggregates (not persisted)."""
+    """Per-scan window aggregates in WORLD frame (derived from the
+    persistent body clusters + current poses each scan)."""
 
-    win_P: jnp.ndarray  # (C, W, 6) body-frame cluster per window slot
-    win_v: jnp.ndarray  # (C, W, 3)
-    win_n: jnp.ndarray  # (C, W)
     add_P: jnp.ndarray  # (C, 6) world center-relative window sum
     add_v: jnp.ndarray  # (C, 3)
     add_n: jnp.ndarray  # (C,)
-    add_cov: jnp.ndarray  # (C, 9, 9) Bf_var sum of window points
 
 
 def empty(params: MapParams, win_size: int, dtype=jnp.float32) -> VoxelMap:
@@ -101,7 +105,10 @@ def empty(params: MapParams, win_size: int, dtype=jnp.float32) -> VoxelMap:
         fix_P=jnp.zeros((C, 6), dtype),
         fix_v=jnp.zeros((C, 3), dtype),
         fix_n=jnp.zeros((C,), dtype),
-        fix_cov=jnp.zeros((C, 9, 9), dtype),
+        cov_add=jnp.zeros((C, 9, 9), dtype),
+        win_P=jnp.zeros((C, win_size, 6), dtype),
+        win_v=jnp.zeros((C, win_size, 3), dtype),
+        win_n=jnp.zeros((C, win_size), dtype),
         plane_valid=jnp.zeros((C,), bool),
         plane_n=jnp.zeros((C, 3), dtype),
         plane_c=jnp.zeros((C, 3), dtype),
@@ -206,9 +213,15 @@ def scatter(
     jour: jnp.ndarray,  # () current travel stamp
     params: MapParams,
 ):
-    """Insert window points into the map and rebuild the per-voxel
-    window aggregates (replaces cut_voxel_multi + the per-voxel push
-    chain, voxel_map.hpp:969-994, 1543-1639).
+    """FULL window rebuild: insert all window points and regenerate
+    the persistent per-voxel window clusters from scratch (replaces
+    cut_voxel_multi + the push chain, voxel_map.hpp:969-994,
+    1543-1639).
+
+    The steady-state hot path uses the incremental `push_scan`
+    instead; this full rebuild runs on initialization iterations,
+    post-loop map swaps, HBA window maps, and as the subdivision
+    fallback (re-routing every window point through fresh children).
 
     Returns (vmap', ScanScratch, overflow_count).
     """
@@ -270,21 +283,159 @@ def scatter(
         jnp.zeros((C * W,), dtype), wsel_s, ones
     ).reshape(C, W)
 
-    # world center-relative window sum (for plane fitting)
-    orel = cluster.point_outer_packed(rel_s)
-    add_P = segsum.sorted_segment_add(jnp.zeros((C, 6), dtype), slot_s, orel)
-    add_v = segsum.sorted_segment_add(jnp.zeros((C, 3), dtype), slot_s, rel_s)
-    add_n = segsum.sorted_segment_add(jnp.zeros((C,), dtype), slot_s, ones)
-
-    # moment-noise accumulation (Bf_var) for the plane covariance
+    # moment-noise accumulation (Bf_var) for the plane covariance.
+    # Grow-only like the reference's cov_add; a full rebuild on a live
+    # map re-adds window noise (the reference's subdivide() re-push
+    # does the same) — conservative, never optimistic.
     bcov = _bf_var(rel_s, var_w.reshape(K, 3, 3)[order])
-    add_cov = segsum.sorted_segment_add(
-        jnp.zeros((C, 9, 9), dtype), slot_s, bcov
+    cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
+
+    vmap = vmap._replace(
+        keys=keys, jour=jour_arr, cov_add=cov_add,
+        win_P=win_P, win_v=win_v, win_n=win_n,
+    )
+    scratch = window_sums(vmap, R, p, params)
+    return vmap, scratch, overflow
+
+
+def push_scan(
+    vmap: VoxelMap,
+    pts_body: jnp.ndarray,  # (N, 3) ONE scan, body frame
+    var_w: jnp.ndarray,  # (N, 3, 3)
+    R: jnp.ndarray,  # (3, 3)
+    p: jnp.ndarray,  # (3,)
+    valid: jnp.ndarray,  # (N,)
+    col: jnp.ndarray,  # () int32 window column to fill
+    jour: jnp.ndarray,
+    params: MapParams,
+):
+    """Incremental push of one scan into window column `col` — the
+    steady-state counterpart of the reference's per-scan cut_voxel
+    (only the NEW scan's points enter the map each step; older scans'
+    body clusters are already resident)."""
+    N = pts_body.shape[0]
+    C = params.capacity
+    W = vmap.win_n.shape[1]
+    dtype = pts_body.dtype
+
+    pts_w = pts_body @ R.T + p
+    coord, lvl, _ = assign(vmap, pts_w, valid, params)
+    keys, slot, n_unique, overflow = hashmap.insert_points(
+        vmap.keys, coord, lvl, valid, params.max_probe,
+        max_unique=min(N, 8192),
+    )
+    ok = valid & (slot >= 0)
+    slot_safe = jnp.where(ok, slot, C)
+    jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
+
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
+    rel = pts_w - center
+
+    order = jnp.argsort(slot_safe)
+    slot_s = slot_safe[order]
+    body = pts_body[order]
+    rel_s = rel[order]
+    ones = jnp.ones((N,), dtype)
+
+    wdst = jnp.where(slot_s < C, slot_s * W + col, C * W)
+    obody = cluster.point_outer_packed(body)
+    win_P = segsum.sorted_segment_add(
+        vmap.win_P.reshape(C * W, 6), wdst, obody
+    ).reshape(C, W, 6)
+    win_v = segsum.sorted_segment_add(
+        vmap.win_v.reshape(C * W, 3), wdst, body
+    ).reshape(C, W, 3)
+    win_n = segsum.sorted_segment_add(
+        vmap.win_n.reshape(C * W), wdst, ones
+    ).reshape(C, W)
+
+    bcov = _bf_var(rel_s, var_w[order])
+    cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
+
+    return (
+        vmap._replace(
+            keys=keys, jour=jour_arr, cov_add=cov_add,
+            win_P=win_P, win_v=win_v, win_n=win_n,
+        ),
+        overflow,
     )
 
-    vmap = vmap._replace(keys=keys, jour=jour_arr)
-    scratch = ScanScratch(win_P, win_v, win_n, add_P, add_v, add_n, add_cov)
-    return vmap, scratch, overflow
+
+def window_sums(
+    vmap: VoxelMap, R: jnp.ndarray, p: jnp.ndarray, params: MapParams
+) -> ScanScratch:
+    """World center-relative window aggregates from the resident body
+    clusters under the CURRENT poses — recomputed every scan so BA
+    pose updates propagate into plane fits (the reference refreshes
+    pcr_add the same way in recut/margi)."""
+    C = params.capacity
+    dtype = vmap.win_P.dtype
+    # voxel centers for all slots
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    lvl = jnp.clip(vmap.keys[:, 3], 0)
+    centers = (vmap.keys[:, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
+    t = p[None, :, :] - centers[:, None, :]  # (C, W, 3)
+    win = Cluster(vmap.win_P, vmap.win_v, vmap.win_n)
+    wld = cluster.transform(win, R[None], t)  # batched (C, W)
+    has = (vmap.win_n > 0)[..., None]
+    add_P = jnp.sum(jnp.where(has, wld.P, 0.0), axis=1)
+    add_v = jnp.sum(jnp.where(has, wld.v, 0.0), axis=1)
+    add_n = jnp.sum(vmap.win_n, axis=1)
+    return ScanScratch(add_P, add_v, add_n)
+
+
+def marginalize_column(
+    vmap: VoxelMap,
+    R: jnp.ndarray,  # (3, 3) final BA pose of the retiring scan
+    p: jnp.ndarray,  # (3,)
+    col: jnp.ndarray,  # () int32 window column being marginalized
+    params: MapParams,
+) -> VoxelMap:
+    """Fold window column `col` into the fixed history IN PLACE —
+    the reference's margi folds each voxel's own stored cluster
+    (voxel_map.hpp:1249-1278), so the fixed moments land in exactly
+    the voxel that held the window points, regardless of how much the
+    BA moved the pose since push time.
+
+    Pure per-slot math: world-transform the resident body cluster by
+    the retiring pose and add where fix_n < max_points."""
+    C = params.capacity
+    dtype = vmap.fix_P.dtype
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    lvl = jnp.clip(vmap.keys[:, 3], 0)
+    centers = (vmap.keys[:, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
+    cP = vmap.win_P[:, col]
+    cv = vmap.win_v[:, col]
+    cn = vmap.win_n[:, col]
+    t = p[None, :] - centers  # (C, 3)
+    wld = cluster.transform(Cluster(cP, cv, cn), R[None], t)
+    gate = ((vmap.fix_n < params.max_points) & (cn > 0))[:, None]
+    fix_P = vmap.fix_P + jnp.where(gate, wld.P, 0.0)
+    fix_v = vmap.fix_v + jnp.where(gate, wld.v, 0.0)
+    fix_n = vmap.fix_n + jnp.where(gate[:, 0], cn, 0.0)
+    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n)
+
+
+def slide_window_cols(vmap: VoxelMap) -> VoxelMap:
+    """Drop the oldest window column (shift left, zero the last) —
+    mirrors the window-array slide in the odometry pipeline."""
+    def roll(a):
+        return jnp.concatenate(
+            [a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1
+        )
+
+    return vmap._replace(
+        win_P=roll(vmap.win_P),
+        win_v=roll(vmap.win_v),
+        win_n=roll(vmap.win_n),
+    )
 
 
 # ------------------------------------------------------------------ planes
@@ -375,7 +526,7 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     P = vmap.fix_P[s_] + scratch.add_P[s_]
     v = vmap.fix_v[s_] + scratch.add_v[s_]
     n = vmap.fix_n[s_] + scratch.add_n[s_]
-    cov9 = vmap.fix_cov[s_] + scratch.add_cov[s_]
+    cov9 = vmap.cov_add[s_]
 
     c = Cluster(P, v, n)
     S = cluster.cov(c)
@@ -480,6 +631,7 @@ def marginalize(
     p: jnp.ndarray,  # (3,)
     valid: jnp.ndarray,  # (N,)
     params: MapParams,
+    accumulate_cov: bool = True,
 ) -> VoxelMap:
     """Fold the oldest scan into the fixed per-voxel history
     (reference margi, voxel_map.hpp:1196-1305).
@@ -521,9 +673,14 @@ def marginalize(
     fix_n = segsum.sorted_segment_add(
         vmap.fix_n, slot_s, jnp.ones_like(rel_s[:, 0])
     )
-    bcov = _bf_var(rel_s, var_w[order])
-    fix_cov = segsum.sorted_segment_add(vmap.fix_cov, slot_s, bcov)
-    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n, fix_cov=fix_cov)
+    # points marginalized out of the sliding window already added
+    # their Bf_var at push time (accumulate_cov=False); fresh fixed
+    # insertions (keyframe reload, map rebuild) have not
+    if accumulate_cov:
+        bcov = _bf_var(rel_s, var_w[order])
+        cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
+        vmap = vmap._replace(cov_add=cov_add)
+    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n)
 
 
 # ------------------------------------------------------------------ evict
@@ -556,7 +713,10 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams) -> VoxelMap:
         fix_P=move(vmap.fix_P),
         fix_v=move(vmap.fix_v),
         fix_n=move(vmap.fix_n),
-        fix_cov=move(vmap.fix_cov),
+        cov_add=move(vmap.cov_add),
+        win_P=move(vmap.win_P),
+        win_v=move(vmap.win_v),
+        win_n=move(vmap.win_n),
         plane_valid=move(vmap.plane_valid, False),
         plane_n=move(vmap.plane_n),
         plane_c=move(vmap.plane_c),

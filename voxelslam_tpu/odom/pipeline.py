@@ -179,9 +179,11 @@ def _front_end(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
 
 def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
-    """Scatter all window points + plane refit, `scatter_passes` times
-    so fresh subdivisions re-route within the same scan (multi_recut,
-    voxelslam.cpp:1398-1453)."""
+    """FULL window rebuild + plane refit, `scatter_passes` times so
+    fresh subdivisions re-route within the same call (multi_recut,
+    voxelslam.cpp:1398-1453).  Used by initialization iterations, the
+    post-loop map swap and the steady-state subdivision fallback; the
+    per-scan hot path uses `_push_recut`."""
     vmap, scratch, overflow = voxelmap.scatter(
         vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
         pp.map_params,
@@ -203,6 +205,33 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
         vmap, scratch, overflow = jax.lax.cond(
             n_subdiv > 0, one_pass, lambda a: a, (vmap, scratch, overflow)
         )
+    return vmap, scratch, overflow
+
+
+def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
+                pp: PipelineParams):
+    """Steady-state map update: incremental push of ONE scan + plane
+    refit; falls back to the full window rebuild only when a voxel
+    subdivided this scan (points must re-route to fresh children —
+    the reference's subdivide() redistribution)."""
+    pts = win.pts[col]
+    var = win.var[col]
+    mask = win.mask[col]
+    R = win.xs.R[col]
+    p = win.xs.p[col]
+    vmap, overflow = voxelmap.push_scan(
+        vmap, pts, var, R, p, mask, jnp.int32(col), jour, pp.map_params
+    )
+    scratch = voxelmap.window_sums(vmap, win.xs.R, win.xs.p, pp.map_params)
+    vmap, n_subdiv = voxelmap.recut(vmap, scratch, pp.map_params)
+
+    def rebuild(args):
+        vmap, scratch, overflow = args
+        return _scatter_recut(vmap, win, jour, pp)
+
+    vmap, scratch, overflow = jax.lax.cond(
+        n_subdiv > 0, rebuild, lambda a: a, (vmap, scratch, overflow)
+    )
     return vmap, scratch, overflow
 
 
@@ -256,7 +285,9 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
+    vmap, scratch, ovf = _push_recut(
+        carry.vmap, win, carry.win_count, carry.jour, pp
+    )
     carry = carry._replace(
         x=x_post, vmap=vmap, win=win, win_count=carry.win_count + 1
     )
@@ -281,7 +312,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
+    vmap, scratch, ovf = _push_recut(carry.vmap, win, W - 1, carry.jour, pp)
 
     # ---- local BA over the window ----
     factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
@@ -299,12 +330,15 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     scan_mask0 = win.mask[0]
 
     # ---- marginalize oldest scan into fixed history ----
-    vmap = voxelmap.marginalize(
-        vmap, win.pts[0], win.var[0], x0.R, x0.p, win.mask[0], pp.map_params
+    # fold the RESIDENT column-0 clusters (their Bf_var entered
+    # cov_add at push time), exactly the reference's per-voxel margi
+    vmap = voxelmap.marginalize_column(
+        vmap, x0.R, x0.p, jnp.int32(0), pp.map_params
     )
 
-    # ---- slide ----
+    # ---- slide (window arrays + resident map columns) ----
     win = _slide_window(win)
+    vmap = voxelmap.slide_window_cols(vmap)
 
     # x_curr adopts the BA-refined latest pose (voxelslam.cpp:1663-1664)
     x_last = state.index(win.xs, W - 2)  # last valid after slide
@@ -470,10 +504,26 @@ def init_refine(carry: Carry, pp: PipelineParams,
 
     span = _e3.eigvals3(nn)[0]
 
+    # Reset the state covariance to the fresh odometry prior: every
+    # fill-phase update ran with a x1000-deweighted prior whose
+    # posterior cov compounds (x1000 per scan) — carrying it into
+    # steady state makes the ESIKF prior free and the first update
+    # dumps pose error into the (lidar-unobservable) bias dims.
     x = carry.x._replace(
         R=xs.R[-1], p=xs.p[-1], v=xs.v[-1], bg=xs.bg[-1], ba=xs.ba[-1],
-        g=xs.g[-1],
+        g=xs.g[-1], cov=state.identity(xs.p.dtype).cov,
     )
+
+    # the reference runs the window BA + marginalize + slide in the
+    # same iteration motion_init succeeds (voxelslam.cpp:1637-1712);
+    # without it the first steady push would double-fill column W-1
+    x0 = state.index(win.xs, 0)
+    vmap = voxelmap.marginalize_column(
+        vmap, x0.R, x0.p, jnp.int32(0), pp.map_params
+    )
+    vmap = voxelmap.slide_window_cols(vmap)
+    win = _slide_window(win)
+
     carry = carry._replace(x=x, vmap=vmap, win=win)
     return carry, g_norm, span
 
@@ -525,19 +575,8 @@ def apply_loop_correction(
             vmap, kf_pts[k], var_nom, kf_R[k], kf_p[k], kf_mask[k],
             pp.map_params,
         )
-    # refit planes over fixed-only voxels (empty window scratch)
-    C = pp.map_params.capacity
-    W = pp.win_size
-    empty_scratch = voxelmap.ScanScratch(
-        win_P=jnp.zeros((C, W, 6), dtype),
-        win_v=jnp.zeros((C, W, 3), dtype),
-        win_n=jnp.zeros((C, W), dtype),
-        add_P=jnp.zeros((C, 6), dtype),
-        add_v=jnp.zeros((C, 3), dtype),
-        add_n=jnp.zeros((C,), dtype),
-        add_cov=jnp.zeros((C, 9, 9), dtype),
-    )
-    vmap = _recut_fixed(vmap, empty_scratch, pp)
+    # refit planes over fixed-only voxels
+    vmap = _recut_fixed(vmap, None, pp)
 
     # rescatter the corrected window
     vmap, scratch, _ = _scatter_recut(vmap, win, carry.jour, pp)
@@ -566,7 +605,7 @@ def _recut_fixed(vmap: VoxelMap, scratch, pp: PipelineParams) -> VoxelMap:
     active = leaf & (vmap.fix_n > min_point)
     plane_ok = active & is_plane
     u0, center, pvar, radius = voxelmap._plane_params(
-        vmap.fix_P, vmap.fix_v, vmap.fix_n, vmap.fix_cov, w, V
+        vmap.fix_P, vmap.fix_v, vmap.fix_n, vmap.cov_add, w, V
     )
     sel = plane_ok[:, None]
     return vmap._replace(
