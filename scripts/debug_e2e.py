@@ -23,11 +23,14 @@ for si, sc in enumerate(data.scans):
     r = fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                         data.imu_t, data.imu_gyr, data.imu_acc)
     x = fe.carry.x
-    gt_p = traj.pos(sc.t_end)
-    gt_v = traj.vel(sc.t_end)
     if r is None:
         print(f"{si:3d} phase={fe.phase} (imu init)")
         continue
+    # the resolved record is the PREVIOUS scan's output (deferred
+    # async readback) — pair GT by the record's own timestamp;
+    # carry.x reflects the CURRENT scan's dispatch
+    gt_p = traj.pos(r.t)
+    gt_v = traj.vel(sc.t_end)
     import numpy as _np
     g = _np.asarray(x.g)
     print(

@@ -65,8 +65,9 @@ class TestEndToEnd:
         n_tail = max(len(errs) // 2, 1)
         ate_tail = np.sqrt(np.mean(errs[-n_tail:] ** 2))
         assert np.isfinite(errs).all()
-        # coarse LiDAR (1024 rays) + f32: sub-decimeter on a room scale
-        assert ate_tail < 0.15, f"ATE tail {ate_tail:.3f} m, errs={errs}"
+        # coarse LiDAR (1024 rays) + f32: ~1 cm on a room scale
+        # (0.06 = 5x headroom over the observed ~0.01 steady-state ATE)
+        assert ate_tail < 0.06, f"ATE tail {ate_tail:.3f} m, errs={errs}"
 
     def test_outputs_flow(self, synth_data):
         traj, data = synth_data
