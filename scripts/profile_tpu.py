@@ -88,6 +88,25 @@ def main():
     recut_j = jax.jit(lambda vm, s: voxelmap.recut(vm, s, mp_))
     vm, _ = timeit("recut (131k slots)", recut_j, vm, scratch)
 
+    # incremental steady-state path: one-scan push + window_sums
+    push_j = jax.jit(
+        lambda vm, q, v, R1, p1, m: voxelmap.push_scan(
+            vm, q, v, R1, p1, m, jnp.int32(W - 1), jnp.float32(0), mp_
+        )
+    )
+    timeit("push_scan (1 x 4096)", push_j, vm, pts_b[0], var[0], R[0],
+           p[0], valid[0])
+    wsums_j = jax.jit(lambda vm, R, p: voxelmap.window_sums(vm, R, p, mp_))
+    timeit("window_sums (131k x W)", wsums_j, vm, R, p)
+    mcol_j = jax.jit(
+        lambda vm, R1, p1: voxelmap.marginalize_column(
+            vm, R1, p1, jnp.int32(0), mp_
+        )
+    )
+    timeit("marginalize_column", mcol_j, vm, R[0], p[0])
+    slide_j = jax.jit(voxelmap.slide_window_cols)
+    timeit("slide_window_cols", slide_j, vm)
+
     match_pts = pts_b[0]
     var1 = var[0]
     m1 = valid[0]

@@ -199,3 +199,102 @@ class TestVoxelMapPlanes:
             vm3.keys, jnp.asarray(coord[:, :3]), jnp.asarray(coord[:, 3]), 16
         )
         assert (np.asarray(slots) >= 0).all()
+
+
+class TestIncrementalPush:
+    """The incremental per-scan path (push_scan + window_sums +
+    marginalize_column + slide_window_cols) must agree with the full
+    window rebuild (scatter) on identical content."""
+
+    def _window(self, W=4, N=300, seed=11):
+        rng = np.random.default_rng(seed)
+        pts, Rs, ps = [], [], []
+        for w in range(W):
+            # plane points at z=0 in world; pose offsets per scan
+            q = rng.uniform(-3, 3, size=(N, 3)).astype(np.float32)
+            q[:, 2] = 0.01 * rng.standard_normal(N).astype(np.float32)
+            ang = 0.1 * w
+            R = np.array(
+                [[np.cos(ang), -np.sin(ang), 0],
+                 [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32
+            )
+            p = np.array([0.3 * w, -0.2 * w, 0.05 * w], np.float32)
+            pts.append((q - p) @ R)  # body frame so world pts = q
+            Rs.append(R)
+            ps.append(p)
+        pts = jnp.asarray(np.stack(pts))
+        Rs = jnp.asarray(np.stack(Rs))
+        ps = jnp.asarray(np.stack(ps))
+        var = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32) * 1e-4, (W, N, 3, 3)
+        )
+        valid = jnp.ones((W, N), bool)
+        return pts, var, Rs, ps, valid
+
+    @staticmethod
+    def _by_key(vm, scratch):
+        keys = np.asarray(vm.keys)
+        act = keys[:, 3] >= 0
+        out = {}
+        for s in np.where(act)[0]:
+            out[tuple(keys[s])] = (
+                np.asarray(scratch.add_P[s]),
+                np.asarray(scratch.add_v[s]),
+                float(scratch.add_n[s]),
+            )
+        return out
+
+    def test_push_matches_scatter(self):
+        W = 4
+        pts, var, Rs, ps, valid = self._window(W)
+        vm_a = voxelmap.empty(PARAMS, W)
+        vm_a, scr_a, _ = voxelmap.scatter(
+            vm_a, pts, var, Rs, ps, valid, jnp.float32(0), PARAMS
+        )
+        vm_b = voxelmap.empty(PARAMS, W)
+        for w in range(W):
+            vm_b, ovf = voxelmap.push_scan(
+                vm_b, pts[w], var[w], Rs[w], ps[w], valid[w],
+                jnp.int32(w), jnp.float32(0), PARAMS,
+            )
+            assert int(ovf) == 0
+        scr_b = voxelmap.window_sums(vm_b, Rs, ps, PARAMS)
+
+        a, b = self._by_key(vm_a, scr_a), self._by_key(vm_b, scr_b)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k][2], b[k][2])  # counts
+            np.testing.assert_allclose(a[k][1], b[k][1], atol=1e-4)
+            np.testing.assert_allclose(a[k][0], b[k][0], atol=2e-3)
+
+    def test_marginalize_column_conserves_content(self):
+        W = 4
+        pts, var, Rs, ps, valid = self._window(W)
+        vm = voxelmap.empty(PARAMS, W)
+        for w in range(W):
+            vm, _ = voxelmap.push_scan(
+                vm, pts[w], var[w], Rs[w], ps[w], valid[w],
+                jnp.int32(w), jnp.float32(0), PARAMS,
+            )
+        scr0 = voxelmap.window_sums(vm, Rs, ps, PARAMS)
+        tot0_P = np.asarray(vm.fix_P + scr0.add_P)
+        tot0_v = np.asarray(vm.fix_v + scr0.add_v)
+        tot0_n = np.asarray(vm.fix_n + scr0.add_n)
+
+        vm = voxelmap.marginalize_column(vm, Rs[0], ps[0], jnp.int32(0), PARAMS)
+        vm = voxelmap.slide_window_cols(vm)
+        # window arrays slid too: poses roll left, last repeats (unused)
+        Rs2 = jnp.concatenate([Rs[1:], Rs[-1:]])
+        ps2 = jnp.concatenate([ps[1:], ps[-1:]])
+        scr1 = voxelmap.window_sums(vm, Rs2, ps2, PARAMS)
+        np.testing.assert_allclose(
+            np.asarray(vm.fix_n + scr1.add_n), tot0_n
+        )
+        np.testing.assert_allclose(
+            np.asarray(vm.fix_v + scr1.add_v), tot0_v, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(vm.fix_P + scr1.add_P), tot0_P, atol=2e-3
+        )
+        # the last window column is empty after the slide
+        assert float(jnp.sum(vm.win_n[:, -1])) == 0.0
