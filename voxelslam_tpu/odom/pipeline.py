@@ -56,6 +56,11 @@ class PipelineParams(NamedTuple):
     num_esikf_iter: int = 4
     degen_thresh: float = 14.0
     ba_max_iter: int = 3
+    # steady-state subdivision-rebuild deferral: rebuild when pending
+    # subdivisions exceed subdiv_burst, or any are older than
+    # subdiv_defer scans
+    subdiv_defer: int = 8
+    subdiv_burst: int = 16
 
 
 class WindowState(NamedTuple):
@@ -77,6 +82,10 @@ class Carry(NamedTuple):
     #   stashed for the dynamic-init re-deskew loop (the reference
     #   keeps time-sorted raw scans for the same purpose,
     #   voxelslam.cpp:1263-1276)
+    subdiv_pending: jnp.ndarray  # () int32 subdivided voxels awaiting
+    #   window re-routing (deferred full rebuild)
+    since_rebuild: jnp.ndarray  # () int32 steady scans since the last
+    #   full window rebuild
 
 
 class ScanInputs(NamedTuple):
@@ -100,6 +109,8 @@ class StepOutputs(NamedTuple):
     scan_pts: jnp.ndarray  # (N, 3) the marginalized scan's body points
     scan_mask: jnp.ndarray  # (N,)
     overflow: jnp.ndarray
+    n_subdiv: jnp.ndarray  # () voxels subdivided this scan (triggers
+    #                          the full-rebuild fallback when > 0)
 
 
 def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
@@ -123,6 +134,8 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         jour=jnp.zeros((), dtype),
         last_pos=jnp.zeros((3,), dtype),
         init_flat=jnp.zeros((W, flat_len(pp)), dtype),
+        subdiv_pending=jnp.zeros((), jnp.int32),
+        since_rebuild=jnp.zeros((), jnp.int32),
     )
 
 
@@ -209,11 +222,17 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
 
 
 def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
-                pp: PipelineParams):
+                pp: PipelineParams, rebuild_gate=None):
     """Steady-state map update: incremental push of ONE scan + plane
-    refit; falls back to the full window rebuild only when a voxel
-    subdivided this scan (points must re-route to fresh children —
-    the reference's subdivide() redistribution)."""
+    refit.  Subdivided voxels need their resident window clusters
+    re-routed to fresh children (the reference's subdivide()
+    redistribution) — that full window rebuild runs under `lax.cond`
+    when `rebuild_gate(n_subdiv)` fires.  The default gate rebuilds
+    immediately on any subdivision; steady state passes a deferring
+    gate (a freshly subdivided voxel contributes no planes/factors
+    until rebuilt, so batching a trickle of subdivisions over a few
+    scans trades a bounded, tiny factor loss for ~2x hot-path cost
+    on exploration scans)."""
     pts = win.pts[col]
     var = win.var[col]
     mask = win.mask[col]
@@ -229,10 +248,13 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
         vmap, scratch, overflow = args
         return _scatter_recut(vmap, win, jour, pp)
 
-    vmap, scratch, overflow = jax.lax.cond(
-        n_subdiv > 0, rebuild, lambda a: a, (vmap, scratch, overflow)
+    gate = (
+        n_subdiv > 0 if rebuild_gate is None else rebuild_gate(n_subdiv)
     )
-    return vmap, scratch, overflow
+    vmap, scratch, overflow = jax.lax.cond(
+        gate, rebuild, lambda a: a, (vmap, scratch, overflow)
+    )
+    return vmap, scratch, overflow, n_subdiv, gate
 
 
 def _push_window(win: WindowState, idx, pts_b, var_w, mask, x_post, preint):
@@ -285,7 +307,7 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf = _push_recut(
+    vmap, scratch, ovf, n_sub, _ = _push_recut(
         carry.vmap, win, carry.win_count, carry.jour, pp
     )
     carry = carry._replace(
@@ -296,7 +318,7 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
         n_factors=jnp.zeros((), jnp.int32), ba_resid=jnp.zeros(()),
         scan_pose=x_post, scan_v6=jnp.zeros((6,)),
         scan_pts=jnp.zeros_like(pts_b), scan_mask=jnp.zeros_like(mask),
-        overflow=ovf,
+        overflow=ovf, n_subdiv=n_sub,
     )
     return carry, out
 
@@ -312,7 +334,19 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf = _push_recut(carry.vmap, win, W - 1, carry.jour, pp)
+    def defer_gate(n_subdiv):
+        pending = carry.subdiv_pending + n_subdiv
+        return (pending >= pp.subdiv_burst) | (
+            (pending > 0) & (carry.since_rebuild >= pp.subdiv_defer)
+        )
+
+    vmap, scratch, ovf, n_sub, rebuilt = _push_recut(
+        carry.vmap, win, W - 1, carry.jour, pp, rebuild_gate=defer_gate
+    )
+    subdiv_pending = jnp.where(
+        rebuilt, jnp.int32(0), carry.subdiv_pending + n_sub
+    )
+    since_rebuild = jnp.where(rebuilt, jnp.int32(0), carry.since_rebuild + 1)
 
     # ---- local BA over the window ----
     factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
@@ -351,13 +385,15 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     last_pos = jnp.where(move, x_new.p, carry.last_pos)
 
     carry = carry._replace(
-        x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos
+        x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
+        subdiv_pending=subdiv_pending, since_rebuild=since_rebuild,
     )
     out = StepOutputs(
         x=x_new, degenerate=res.degenerate, match_count=res.match_count,
         n_factors=jnp.sum(factors.valid), ba_resid=ba.resid1,
         scan_pose=x0, scan_v6=v6, scan_pts=scan_pts0, scan_mask=scan_mask0,
         overflow=ovf,
+        n_subdiv=jnp.where(rebuilt, n_sub + carry.subdiv_pending, 0),
     )
     return carry, out
 

@@ -175,6 +175,12 @@ class SlamFrontend:
             out = jax.tree.map(lambda a: a[b], outs)
             rec = self._record(out, t_ends[b])
             self.telemetry.count("scans")
+            if int(getattr(out, "n_subdiv", 0)) > 0:
+                # the incremental push fell back to the full window
+                # rebuild (a voxel subdivided) — should be rare in
+                # steady state; frequent hits mean the hot path is
+                # paying rebuild cost every scan
+                self.telemetry.count("rebuild_fallbacks")
             if bool(out.degenerate):
                 self.telemetry.count("degenerate_scans")
                 self.degrade_cnt += 1
