@@ -253,7 +253,7 @@ class TestIncrementalPush:
         )
         vm_b = voxelmap.empty(PARAMS, W)
         for w in range(W):
-            vm_b, ovf = voxelmap.push_scan(
+            vm_b, ovf, _ = voxelmap.push_scan(
                 vm_b, pts[w], var[w], Rs[w], ps[w], valid[w],
                 jnp.int32(w), jnp.float32(0), PARAMS,
             )
@@ -272,7 +272,7 @@ class TestIncrementalPush:
         pts, var, Rs, ps, valid = self._window(W)
         vm = voxelmap.empty(PARAMS, W)
         for w in range(W):
-            vm, _ = voxelmap.push_scan(
+            vm, _, _ = voxelmap.push_scan(
                 vm, pts[w], var[w], Rs[w], ps[w], valid[w],
                 jnp.int32(w), jnp.float32(0), PARAMS,
             )

@@ -355,12 +355,17 @@ def push_scan(
     bcov = _bf_var(rel_s, var_w[order])
     cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
 
+    # which voxels THIS scan touched — the only set whose planes need
+    # a refit this step (the reference's surf_map_slide touched list)
+    touched = jnp.zeros((C,), bool).at[slot_s].set(True, mode="drop")
+
     return (
         vmap._replace(
             keys=keys, jour=jour_arr, cov_add=cov_add,
             win_P=win_P, win_v=win_v, win_n=win_n,
         ),
         overflow,
+        touched,
     )
 
 
@@ -496,7 +501,8 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
     return u0, center, pvar, w[..., 2]
 
 
-def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
+def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams,
+          touch: jnp.ndarray | None = None, size: int | None = None):
     """Per-slot plane refit + subdivision decision (reference recut +
     plane_update, voxel_map.hpp:1118-1194).
 
@@ -511,13 +517,22 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams):
     (plane_judge, voxel_map.hpp:1015-1019).  A failed leaf below
     max_layer flips to subdivided; its points re-route on the next
     scatter pass.
+
+    `touch` (optional (C,) bool) restricts the refit to voxels a
+    specific scan touched — the incremental hot path passes the
+    pushed scan's slot set (marginalization conserves per-voxel
+    content, so untouched voxels' planes stay valid); full rebuilds
+    refit every resident voxel.  `size` overrides the compaction
+    bound (the touched set of one scan is ≤ its point count).
     """
     dtype = scratch.add_P.dtype
     C = vmap.keys.shape[0]
-    A = params.max_active
+    A = params.max_active if size is None else size
     occupied = vmap.keys[:, 3] >= 0
     leaf = occupied & (vmap.state == 0)
     touched = leaf & (scratch.add_n > 0)
+    if touch is not None:
+        touched = touched & touch
     (aidx,) = jnp.nonzero(touched, size=A, fill_value=C)
     aok = aidx < C
     s_ = jnp.clip(aidx, 0, C - 1)

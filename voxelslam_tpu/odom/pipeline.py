@@ -238,11 +238,16 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
     mask = win.mask[col]
     R = win.xs.R[col]
     p = win.xs.p[col]
-    vmap, overflow = voxelmap.push_scan(
+    vmap, overflow, touched = voxelmap.push_scan(
         vmap, pts, var, R, p, mask, jnp.int32(col), jour, pp.map_params
     )
     scratch = voxelmap.window_sums(vmap, win.xs.R, win.xs.p, pp.map_params)
-    vmap, n_subdiv = voxelmap.recut(vmap, scratch, pp.map_params)
+    # refit only the pushed scan's voxels (≤ n_ds of them): margi
+    # conserves per-voxel content, so untouched planes remain valid
+    vmap, n_subdiv = voxelmap.recut(
+        vmap, scratch, pp.map_params, touch=touched,
+        size=min(pp.n_ds, pp.map_params.max_active),
+    )
 
     def rebuild(args):
         vmap, scratch, overflow = args
