@@ -53,7 +53,7 @@ def main():
             max_imu=64,
             hash_capacity=1 << 17,
             max_ba_voxels=4096,
-            scan_batch=4,
+            scan_batch=8,
         ),
     )
 
@@ -63,16 +63,17 @@ def main():
     )
     dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300, fov_v=60.0,
                                 fov_h=160.0)  # 28800 rays, wide FoV
-    n_scans = 40
+    # warmup: IMU init (1) + fill (win) + enough steady scans to
+    # dispatch at least one full batch (compiles the batched steady
+    # program before the timed window); timed = 24 scans
+    warm = cfg.local_ba.win_size + 6 + cfg.shapes.scan_batch
+    n_scans = warm + 24
     data = synthetic.simulate(
         n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
         world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
     )
 
     fe = SlamFrontend(cfg)
-    # warmup: IMU init + fill + dynamic init + first steady steps
-    # (compiles fill_step, init_refine, steady_step)
-    warm = cfg.local_ba.win_size + 6
     t_compile0 = time.time()
     for sc in data.scans[:warm]:
         fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
