@@ -82,10 +82,6 @@ class Carry(NamedTuple):
     #   stashed for the dynamic-init re-deskew loop (the reference
     #   keeps time-sorted raw scans for the same purpose,
     #   voxelslam.cpp:1263-1276)
-    subdiv_pending: jnp.ndarray  # () int32 subdivided voxels awaiting
-    #   window re-routing (deferred full rebuild)
-    since_rebuild: jnp.ndarray  # () int32 steady scans since the last
-    #   full window rebuild
 
 
 class ScanInputs(NamedTuple):
@@ -109,8 +105,9 @@ class StepOutputs(NamedTuple):
     scan_pts: jnp.ndarray  # (N, 3) the marginalized scan's body points
     scan_mask: jnp.ndarray  # (N,)
     overflow: jnp.ndarray
-    n_subdiv: jnp.ndarray  # () voxels subdivided this scan (triggers
-    #                          the full-rebuild fallback when > 0)
+    n_subdiv: jnp.ndarray  # () voxels subdivided this scan — the host
+    #   accumulates these and dispatches `rebuild_map` per its
+    #   deferral policy (subdiv_burst / subdiv_defer)
 
 
 def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
@@ -134,8 +131,6 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         jour=jnp.zeros((), dtype),
         last_pos=jnp.zeros((3,), dtype),
         init_flat=jnp.zeros((W, flat_len(pp)), dtype),
-        subdiv_pending=jnp.zeros((), jnp.int32),
-        since_rebuild=jnp.zeros((), jnp.int32),
     )
 
 
@@ -222,17 +217,22 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
 
 
 def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
-                pp: PipelineParams, rebuild_gate=None):
+                pp: PipelineParams):
     """Steady-state map update: incremental push of ONE scan + plane
-    refit.  Subdivided voxels need their resident window clusters
-    re-routed to fresh children (the reference's subdivide()
-    redistribution) — that full window rebuild runs under `lax.cond`
-    when `rebuild_gate(n_subdiv)` fires.  The default gate rebuilds
-    immediately on any subdivision; steady state passes a deferring
-    gate (a freshly subdivided voxel contributes no planes/factors
-    until rebuilt, so batching a trickle of subdivisions over a few
-    scans trades a bounded, tiny factor loss for ~2x hot-path cost
-    on exploration scans)."""
+    refit of only the pushed scan's voxels (marginalization conserves
+    per-voxel content, so untouched planes remain valid).
+
+    Subdivided voxels need their resident window clusters re-routed to
+    fresh children (the reference's subdivide() redistribution).  That
+    full window rebuild is deliberately NOT in this program: a
+    `lax.cond` over the map state costs ~40-80 ms/step on TPU even
+    when untaken (the conditional materializes + copies its whole
+    operand tuple across the branch boundary).  Instead `n_subdiv`
+    goes to the host, which dispatches the separate `rebuild_map`
+    program when its deferral policy fires — a freshly subdivided
+    voxel contributes no planes/factors until rebuilt, so batching a
+    trickle of subdivisions over a few scans is a bounded, tiny
+    factor loss."""
     pts = win.pts[col]
     var = win.var[col]
     mask = win.mask[col]
@@ -242,24 +242,20 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
         vmap, pts, var, R, p, mask, jnp.int32(col), jour, pp.map_params
     )
     scratch = voxelmap.window_sums(vmap, win.xs.R, win.xs.p, pp.map_params)
-    # refit only the pushed scan's voxels (≤ n_ds of them): margi
-    # conserves per-voxel content, so untouched planes remain valid
     vmap, n_subdiv = voxelmap.recut(
         vmap, scratch, pp.map_params, touch=touched,
         size=min(pp.n_ds, pp.map_params.max_active),
     )
+    return vmap, scratch, overflow, n_subdiv
 
-    def rebuild(args):
-        vmap, scratch, overflow = args
-        return _scatter_recut(vmap, win, jour, pp)
 
-    gate = (
-        n_subdiv > 0 if rebuild_gate is None else rebuild_gate(n_subdiv)
-    )
-    vmap, scratch, overflow = jax.lax.cond(
-        gate, rebuild, lambda a: a, (vmap, scratch, overflow)
-    )
-    return vmap, scratch, overflow, n_subdiv, gate
+@partial(jax.jit, static_argnames=("pp",))
+def rebuild_map(carry: Carry, pp: PipelineParams) -> Carry:
+    """Full window rebuild + plane refit as its own (host-dispatched)
+    device program — the subdivision re-route path, kept out of the
+    per-scan hot program (see _push_recut)."""
+    vmap, _, _ = _scatter_recut(carry.vmap, carry.win, carry.jour, pp)
+    return carry._replace(vmap=vmap)
 
 
 def _push_window(win: WindowState, idx, pts_b, var_w, mask, x_post, preint):
@@ -312,9 +308,9 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf, n_sub, _ = _push_recut(
-        carry.vmap, win, carry.win_count, carry.jour, pp
-    )
+    # full window rebuild every fill scan (the map structure is still
+    # forming; this path runs win_size times per session, not hot)
+    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
     carry = carry._replace(
         x=x_post, vmap=vmap, win=win, win_count=carry.win_count + 1
     )
@@ -323,7 +319,7 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
         n_factors=jnp.zeros((), jnp.int32), ba_resid=jnp.zeros(()),
         scan_pose=x_post, scan_v6=jnp.zeros((6,)),
         scan_pts=jnp.zeros_like(pts_b), scan_mask=jnp.zeros_like(mask),
-        overflow=ovf, n_subdiv=n_sub,
+        overflow=ovf, n_subdiv=jnp.zeros((), jnp.int32),
     )
     return carry, out
 
@@ -339,19 +335,9 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    def defer_gate(n_subdiv):
-        pending = carry.subdiv_pending + n_subdiv
-        return (pending >= pp.subdiv_burst) | (
-            (pending > 0) & (carry.since_rebuild >= pp.subdiv_defer)
-        )
-
-    vmap, scratch, ovf, n_sub, rebuilt = _push_recut(
-        carry.vmap, win, W - 1, carry.jour, pp, rebuild_gate=defer_gate
+    vmap, scratch, ovf, n_sub = _push_recut(
+        carry.vmap, win, W - 1, carry.jour, pp
     )
-    subdiv_pending = jnp.where(
-        rebuilt, jnp.int32(0), carry.subdiv_pending + n_sub
-    )
-    since_rebuild = jnp.where(rebuilt, jnp.int32(0), carry.since_rebuild + 1)
 
     # ---- local BA over the window ----
     factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
@@ -391,14 +377,12 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
     carry = carry._replace(
         x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
-        subdiv_pending=subdiv_pending, since_rebuild=since_rebuild,
     )
     out = StepOutputs(
         x=x_new, degenerate=res.degenerate, match_count=res.match_count,
         n_factors=jnp.sum(factors.valid), ba_resid=ba.resid1,
         scan_pose=x0, scan_v6=v6, scan_pts=scan_pts0, scan_mask=scan_mask0,
-        overflow=ovf,
-        n_subdiv=jnp.where(rebuilt, n_sub + carry.subdiv_pending, 0),
+        overflow=ovf, n_subdiv=n_sub,
     )
     return carry, out
 

@@ -72,8 +72,6 @@ def carry_shardings(mesh: Mesh):
             jour=rep,
             last_pos=rep,
             init_flat=rep,
-            subdiv_pending=rep,
-            since_rebuild=rep,
         )
 
     return build

@@ -109,6 +109,8 @@ class SlamFrontend:
         self._fill_count = 0
         self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
         self._batch_buf = []  # flats awaiting a full device batch
+        self._subdiv_pending = 0  # subdivisions awaiting window rebuild
+        self._since_rebuild = 0
 
     # ------------------------------------------------------------- inputs
 
@@ -175,12 +177,11 @@ class SlamFrontend:
             out = jax.tree.map(lambda a: a[b], outs)
             rec = self._record(out, t_ends[b])
             self.telemetry.count("scans")
-            if int(getattr(out, "n_subdiv", 0)) > 0:
-                # the incremental push fell back to the full window
-                # rebuild (a voxel subdivided) — should be rare in
-                # steady state; frequent hits mean the hot path is
-                # paying rebuild cost every scan
-                self.telemetry.count("rebuild_fallbacks")
+            # accumulate subdivisions; the deferred window rebuild is
+            # a separate host-dispatched program (a lax.cond over the
+            # map inside the hot step costs ~80 ms/step even untaken)
+            self._subdiv_pending += int(getattr(out, "n_subdiv", 0))
+            self._since_rebuild += 1
             if bool(out.degenerate):
                 self.telemetry.count("degenerate_scans")
                 self.degrade_cnt += 1
@@ -275,12 +276,29 @@ class SlamFrontend:
                     self._reset(f"init plane span {float(span):.1f} degenerate")
                     return rec_prev
                 self.phase = "STEADY"
+                # warm the deferred-rebuild program now (compile off
+                # the hot path); also guarantees a consistent map in
+                # case init left fresh subdivisions unrouted
+                with self.telemetry.stage("rebuild"):
+                    self.carry = pl.rebuild_map(self.carry, self.pp)
             return self._record(jax.device_get(out), t_end)
 
         # STEADY: batch scans into one device program, dispatch async
         self._batch_buf.append((flat, t_end))
         if len(self._batch_buf) < self.scan_batch:
             return rec_prev
+        # deferred subdivision re-route: run the full window rebuild
+        # as its own program between batches (never inside the hot
+        # step — a lax.cond over the map costs ~80 ms even untaken)
+        if self._subdiv_pending >= self.pp.subdiv_burst or (
+            self._subdiv_pending > 0
+            and self._since_rebuild >= self.pp.subdiv_defer
+        ):
+            with self.telemetry.stage("rebuild"):
+                self.carry = pl.rebuild_map(self.carry, self.pp)
+            self.telemetry.count("rebuilds")
+            self._subdiv_pending = 0
+            self._since_rebuild = 0
         flats = np.stack([f for f, _ in self._batch_buf])
         t_ends = [t for _, t in self._batch_buf]
         self._batch_buf = []
@@ -366,6 +384,8 @@ class SlamFrontend:
         self._pending = None
         self._batch_buf = []
         self._fill_count = 0
+        self._subdiv_pending = 0
+        self._since_rebuild = 0
         self.session += 1
         self.degrade_cnt = 0
         self.phase = "IMU_INIT"
