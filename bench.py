@@ -53,7 +53,7 @@ def main():
             max_imu=64,
             hash_capacity=1 << 17,
             max_ba_voxels=4096,
-            scan_batch=8,
+            scan_batch=16,
         ),
     )
 
@@ -65,9 +65,13 @@ def main():
                                 fov_h=160.0)  # 28800 rays, wide FoV
     # warmup: IMU init (1) + fill (win) + enough steady scans to
     # dispatch at least one full batch (compiles the batched steady
-    # program before the timed window); timed = 24 scans
-    warm = cfg.local_ba.win_size + 6 + cfg.shapes.scan_batch
-    n_scans = warm + 24
+    # program before the timed window); timed = whole batches only so
+    # no tail scans leak past the timing fence into flush()
+    sb = cfg.shapes.scan_batch
+    # 1 IMU-init scan + win_size fill scans, then whole batches
+    warm = cfg.local_ba.win_size + 1 + 2 * sb
+    timed_n = ((24 + sb - 1) // sb) * sb
+    n_scans = warm + timed_n
     data = synthetic.simulate(
         n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
         world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
@@ -81,6 +85,11 @@ def main():
     log(f"warmup+compile: {time.time() - t_compile0:.1f}s, phase={fe.phase}")
     if fe.phase != "STEADY":
         log("WARNING: pipeline not steady after warmup")
+    # the warmup count is batch-aligned (1 IMU-init + win fill +
+    # 2*scan_batch steady) so the timing fence lands on an empty
+    # batch buffer; verify rather than silently mistime
+    if fe._batch_buf:
+        log(f"WARNING: {len(fe._batch_buf)} scans straddle the fence")
 
     # timed steady-state scans
     timed = data.scans[warm:]

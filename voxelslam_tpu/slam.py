@@ -209,8 +209,26 @@ class SlamFrontend:
         return rec
 
     def flush(self) -> Optional[ScanRecord]:
-        """Resolve any in-flight scan (call before reading results)."""
-        return self._resolve_pending()
+        """Drain the pipeline: resolve any in-flight dispatch AND
+        process scans still buffered for an incomplete batch (end of
+        stream / finish — without this, up to scan_batch-1 tail scans
+        would be silently dropped)."""
+        rec = self._resolve_pending()
+        if self._batch_buf and self.phase == "STEADY":
+            leftovers = self._batch_buf
+            self._batch_buf = []
+            for flat, t_end in leftovers:
+                self.carry, out = pl.steady_step_flat(
+                    self.carry, jnp.asarray(flat), self.pp,
+                    self.imu_noise, self.ext_R, self.ext_t,
+                    self.scale_gravity, with_gravity=self.g_update,
+                )
+                self.g_update = False
+                self._pending = (
+                    jax.tree.map(lambda a: a[None], out), [t_end]
+                )
+                rec = self._resolve_pending()
+        return rec
 
     def process_scan(self, pts: np.ndarray, offsets: np.ndarray,
                      t_begin: float, t_end: float,
