@@ -46,7 +46,7 @@ def main():
             cov_gyr=0.01, cov_acc=0.1, down_size=0.1, voxel_size=1.0,
             min_eigen_value=0.005,
         ),
-        local_ba=LocalBACfg(win_size=10),
+        local_ba=LocalBACfg(win_size=10, max_iter=2),
         shapes=Shapes(
             max_raw_points=32768,
             max_points=4096,

@@ -63,6 +63,8 @@ class LocalBACfg:
     plane_eigen_value_thre: Tuple[float, ...] = (4.0, 4.0, 4.0, 4.0)
     imu_coef: float = 1e-4
     thread_num: int = 5  # reference CPU thread pool; unused on TPU
+    max_iter: int = 3  # LM iterations per window BA (fixed-count on
+    #                    device; the reference early-stops instead)
 
 
 @dataclass(frozen=True)

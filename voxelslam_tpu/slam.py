@@ -75,6 +75,7 @@ class SlamFrontend:
             dept_err=c.odometry.dept_err,
             beam_err=c.odometry.beam_err,
             imu_coef=c.local_ba.imu_coef,
+            ba_max_iter=c.local_ba.max_iter,
         )
         self.imu_noise = prop.noise_from_cfg(
             c.odometry.cov_gyr, c.odometry.cov_acc,
