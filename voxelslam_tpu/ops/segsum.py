@@ -37,6 +37,9 @@ def _seg_scan(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
     return scanned
 
 
+_CHUNK = 512  # one-hot matmul tile (MXU-sized)
+
+
 def sorted_segment_add(
     out: jnp.ndarray,
     idx_sorted: jnp.ndarray,
@@ -48,24 +51,51 @@ def sorted_segment_add(
     Rows with idx >= drop_beyond (default: out.shape[0]) are dropped.
     Equivalent to `out.at[idx].add(vals)` but avoids the TPU
     duplicate-scatter slow path.
+
+    Implementation: segment totals via CHUNKED ONE-HOT MATMULS — for
+    each 512-row chunk, totals = one_hot(local_segment_id)ᵀ @ vals
+    rides the MXU (exact: 0/1 coefficients under the package-wide
+    highest-precision matmul setting), then one scatter-add writes
+    per-chunk partials (a segment straddling a chunk boundary simply
+    contributes two partials).  This replaces the log2(K)-pass
+    segmented `associative_scan` — the sublane row-shifts it needs
+    are slow on TPU (see ops/segscan_pallas.py for the measured
+    single-pass Pallas scan alternative; the MXU form wins).
     """
     K = idx_sorted.shape[0]
     drop = out.shape[0] if drop_beyond is None else drop_beyond
+    dst_in = jnp.where(idx_sorted < drop, idx_sorted, out.shape[0])
+
+    B = _CHUNK
+    pad = (-K) % B
+    if pad:
+        dst_in = jnp.concatenate(
+            [dst_in, jnp.full((pad,), out.shape[0], dst_in.dtype)]
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad,) + vals.shape[1:], vals.dtype)]
+        )
+        K = K + pad
+
+    Cn = K // B
+    v2 = vals.reshape(Cn, B, -1)
+    idx_c = dst_in.reshape(Cn, B)
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), idx_sorted[1:] != idx_sorted[:-1]]
+        [jnp.ones((Cn, 1), bool), idx_c[:, 1:] != idx_c[:, :-1]], axis=1
     )
-    is_last = jnp.concatenate(
-        [idx_sorted[1:] != idx_sorted[:-1], jnp.ones((1,), bool)]
-    )
-    seg = _seg_scan(vals, first)
-    # IMPORTANT: the destination sequence must honestly satisfy the
-    # indices_are_sorted promise — interleaving a drop sentinel breaks
-    # monotonicity and TPU lowering then writes garbage.  Keep the
-    # (sorted, duplicated) indices and zero the non-last values
-    # instead; out-of-range rows are already at the tail (sorted).
-    dst = jnp.where(idx_sorted < drop, idx_sorted, out.shape[0])
-    shape = (K,) + (1,) * (vals.ndim - 1)
-    seg = seg * is_last.astype(vals.dtype).reshape(shape)
+    local = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1  # (Cn, B)
+    oh = (
+        local[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (Cn, B, B), 2)
+    ).astype(vals.dtype)
+    totals = jnp.einsum("cks,ckd->csd", oh, v2)  # (Cn, B, D)
+    # local segment s's destination = idx at its start row; local ids
+    # are assigned in ascending-idx order, so a per-chunk sort of the
+    # (start-flagged) indices lines them up with the totals rows
+    starts = jnp.where(first, idx_c, jnp.int32(2147483647))
+    dst = jnp.sort(starts, axis=1).reshape(K)
+    dst = jnp.where(dst < drop, dst, out.shape[0])
     return out.at[dst].add(
-        seg, mode="drop", indices_are_sorted=True, unique_indices=False
+        totals.reshape((K,) + vals.shape[1:]), mode="drop",
+        indices_are_sorted=False, unique_indices=False,
     )
