@@ -49,6 +49,8 @@ class OdometryCfg:
     point_notime: int = 0  # 1: points carry no per-point time
     init_span_bound: float = 15.0  # init plane-normal-span degeneracy
     #   bound (voxelslam.cpp:651-658); count-scaled, lower for sparse rigs
+    evict_dist: float = 700.0  # drop voxels this much travel behind
+    #   (voxelslam.cpp:1509); eviction is checked every evict_dist/8 m
 
 
 @dataclass(frozen=True)

@@ -89,6 +89,80 @@ def make_room(size=(12.0, 9.0, 4.0), n_boxes: int = 6, seed: int = 0,
     return PlaneWorld(np.array(C), np.array(N), np.array(U), np.array(V))
 
 
+def make_ring(radius: float = 12.5, corridor: float = 9.0,
+              height: float = 4.5, n_boxes: int = 24, n_poles: int = 40,
+              seed: int = 0) -> PlaneWorld:
+    """A ring corridor: outer room + a central block occluding the far
+    side, circuit centered at (0, radius) so the ORIGIN lies on the
+    ring.  Because each viewpoint only sees its local corridor
+    section, odometry drift accumulates over a lap and can only be
+    recovered by loop closure — the canonical drift-then-close
+    scenario.  Clutter is rejection-sampled into the corridor, clear
+    of the circular path."""
+    rng = np.random.default_rng(seed)
+    cy = radius  # ring center y
+    half = radius + corridor / 2.0  # outer half-extent around center
+    sz = height / 2.0
+    C, N, U, V = [], [], [], []
+
+    def rect(c, n, u, v):
+        C.append(np.asarray(c, float)); N.append(np.asarray(n, float))
+        U.append(np.asarray(u, float)); V.append(np.asarray(v, float))
+
+    def box(c, h):
+        for axis in range(3):
+            for sgn in (-1, 1):
+                n = np.zeros(3); n[axis] = sgn
+                cc = np.asarray(c, float) + n * h[axis]
+                ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+                u = np.zeros(3); u[ax1] = h[ax1]
+                v = np.zeros(3); v[ax2] = h[ax2]
+                rect(cc, n, u, v)
+
+    # outer shell (normals inward), centered at (0, cy)
+    rect([0, cy, -sz], [0, 0, 1], [half, 0, 0], [0, half, 0])
+    rect([0, cy, sz], [0, 0, -1], [half, 0, 0], [0, half, 0])
+    rect([-half, cy, 0], [1, 0, 0], [0, half, 0], [0, 0, sz])
+    rect([half, cy, 0], [-1, 0, 0], [0, half, 0], [0, 0, sz])
+    rect([0, cy - half, 0], [0, 1, 0], [half, 0, 0], [0, 0, sz])
+    rect([0, cy + half, 0], [0, -1, 0], [half, 0, 0], [0, 0, sz])
+
+    # central occluding block (its faces are the corridor inner walls)
+    inner = radius - corridor / 2.0
+    box([0, cy, 0], np.array([inner, inner, sz]))
+
+    def in_corridor(p, margin):
+        r = np.linalg.norm(p - np.array([0.0, cy]))
+        return (
+            inner + margin < r < half - margin
+            and abs(r - radius) > 1.2 + margin  # clear of the path
+        )
+
+    for _ in range(n_boxes):
+        h = rng.uniform(0.3, 1.0, 3)
+        for _retry in range(50):
+            p = rng.uniform([-half + 1, cy - half + 1],
+                            [half - 1, cy + half - 1])
+            if in_corridor(p, max(h[:2])):
+                break
+        else:
+            continue
+        box([p[0], p[1], rng.uniform(-sz + h[2], 0)], h)
+
+    for _ in range(n_poles):
+        h = np.array([0.04, 0.04, rng.uniform(0.8, sz * 0.9)])
+        for _retry in range(50):
+            p = rng.uniform([-half + 1, cy - half + 1],
+                            [half - 1, cy + half - 1])
+            if in_corridor(p, 0.1):
+                break
+        else:
+            continue
+        box([p[0], p[1], -sz + h[2]], h)
+
+    return PlaneWorld(np.array(C), np.array(N), np.array(U), np.array(V))
+
+
 # ---------------------------------------------------------------- trajectory
 
 def _so3_exp(w):
@@ -126,6 +200,13 @@ class Trajectory:
     pitch_freq: float = 0.19
     ramp: float = 0.0  # seconds of smooth spin-up (0 = always moving)
     t_start: float = 0.0  # motion is exactly zero before t_start
+    # per-axis phase: amp·(sin(wt+φ) − sin(φ)) keeps pos(0)=0 for any
+    # phase; freq=[f,f,·] + phase=[0,−π/2,·] traces a circle through
+    # the origin (ring-circuit scenarios)
+    phase: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # constant yaw rate (rad/s, ramped) on top of the sinusoidal yaw —
+    # 2π·freq_x makes the heading follow a circular path's tangent
+    yaw_rate: float = 0.0
 
     def _r(self, t):
         if self.ramp <= 0:
@@ -134,13 +215,20 @@ class Trajectory:
 
     def pos(self, t):
         w = 2 * np.pi * self.freq
-        return self.amp * np.sin(w * t) * self._r(t)
+        return (
+            self.amp
+            * (np.sin(w * t + self.phase) - np.sin(self.phase))
+            * self._r(t)
+        )
 
     def _angles(self, t):
         wy = 2 * np.pi * self.yaw_freq
         wp = 2 * np.pi * self.pitch_freq
         r = self._r(t)
-        return self.yaw_amp * np.sin(wy * t) * r, self.pitch_amp * np.sin(wp * t) * r
+        yaw = (
+            self.yaw_amp * np.sin(wy * t) + self.yaw_rate * (t - self.t_start)
+        ) * r
+        return yaw, self.pitch_amp * np.sin(wp * t) * r
 
     def rot(self, t):
         yaw, pitch = self._angles(t)
@@ -227,7 +315,9 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
              dirs: np.ndarray | None = None,
              gyr_noise: float = 0.0, acc_noise: float = 0.0,
              gyr_bias=(0.0, 0.0, 0.0), acc_bias=(0.0, 0.0, 0.0),
-             range_noise: float = 0.0, gravity: float = 9.8,
+             gyr_scale: float = 1.0,
+             range_noise: float = 0.0, range_scale: float = 1.0,
+             gravity: float = 9.8,
              extrinsic_R: np.ndarray | None = None,
              extrinsic_t: np.ndarray | None = None,
              t0: float = 0.5, seed: int = 1) -> SynthData:
@@ -254,7 +344,11 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
     t_imu0 = t0 - 0.45
     t_end_all = t0 + n_scans * dt_scan + 0.05
     imu_t = np.arange(t_imu0, t_end_all, 1.0 / imu_hz)
-    imu_gyr = np.stack([traj.omega_body(t) for t in imu_t]) + bg
+    # gyr_scale models a scale-factor calibration error — unlike a
+    # bias it is NOT estimated by the filter, so heading error (and
+    # position drift) accumulates with total rotation: the organic
+    # drift source for loop-closure/PGO exercises
+    imu_gyr = gyr_scale * np.stack([traj.omega_body(t) for t in imu_t]) + bg
     imu_acc = np.stack(
         [traj.rot(t).T @ (traj.acc(t) - g_w) for t in imu_t]
     ) + ba
@@ -290,6 +384,11 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
             ok = np.isfinite(rr)
             if range_noise > 0:
                 rr = rr + rng.normal(0, range_noise, rr.shape)
+            # range scale error (real lidar mis-calibration): the
+            # traversed geometry measures range_scale x larger, which
+            # lidar matching cannot self-correct — odometry drift
+            # grows with distance and only loop closure recovers it
+            rr = rr * range_scale
             pts[idx] = np.where(ok[:, None], dirs[idx] * rr[:, None], np.nan)
         valid = np.isfinite(pts).all(axis=1)
         scans.append(SynthScan(tb, te, pts[valid], offs[valid]))

@@ -240,6 +240,7 @@ class LoopManager:
         # pose; policies per voxelslam.cpp:1997-2069
         p_pred = tgt.R0 @ tm + tgt.p0
         drift = float(np.linalg.norm(p_pred - kf.p0))
+        self.last_drift = drift
         same = tgt.session == kf.session
         if same:
             q = self.sessions[kf.session]

@@ -65,6 +65,7 @@ class SlamFrontend:
                 min_eigen_value=c.odometry.min_eigen_value,
                 plane_thre_inv=c.plane_thre_inv,
                 max_points=sh.map_max_points,
+                evict_dist=c.odometry.evict_dist,
             ),
             win_size=c.local_ba.win_size,
             n_raw=sh.max_raw_points,
@@ -341,7 +342,7 @@ class SlamFrontend:
         # distance-based map eviction + table compaction (throttled
         # host sync: one scalar read per scan is cheap)
         jour_now = float(self.carry.jour)
-        if jour_now - self._evict_jour > 50.0:
+        if jour_now - self._evict_jour > self.pp.map_params.evict_dist / 8.0:
             self._evict_jour = jour_now
             from .map import voxelmap as _vm
             with self.telemetry.stage("evict"):
