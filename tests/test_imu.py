@@ -51,6 +51,26 @@ class TestPropagation:
         assert (np.diag(c)[:9] > np.diag(np.asarray(x0.cov))[:9]).all()
         np.testing.assert_allclose(c, c.T, atol=1e-8)
 
+    def test_pack_intervals_imu_dropout(self):
+        """Sensor dropout: one (or zero) IMU samples near the span must
+        not crash the public process_scan path — a boundary sample is
+        synthesized (reference ekf_imu.hpp:125-133)."""
+        imu_t = np.asarray([0.02])
+        gyr = np.asarray([[0.0, 0.0, 0.1]])
+        acc = np.asarray([[0.0, 0.0, 9.8]])
+        dt, g, a, offt, valid, dt_ext = prop.pack_imu_intervals(
+            imu_t, gyr, acc, 0.0, 0.0, 0.1, 16
+        )
+        assert valid.any()
+        assert abs(dt[valid].sum() - 0.1) < 1e-6  # covers the span
+        np.testing.assert_allclose(g[0], gyr[0])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            prop.pack_imu_intervals(
+                np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)),
+                0.0, 0.0, 0.1, 16,
+            )
+
     def test_deskew_recovers_static_world(self):
         traj = synthetic.Trajectory()
         data = _synth()

@@ -34,6 +34,32 @@ class TestDecoders:
         assert (np.diff(sc.offsets) >= 0).all()  # sorted by time
         assert (np.linalg.norm(sc.pts, axis=1) >= 0.5).all()
 
+    def test_velodyne_absolute_time_normalized(self):
+        """Drivers emitting absolute per-point stamps (not
+        begin-relative offsets) must be rebased, not culled to the
+        2-point placeholder."""
+        data = _velodyne_scan()
+        abs_data = np.zeros(len(data), dtype=[
+            ("x", "f4"), ("y", "f4"), ("z", "f4"), ("time", "f8")])
+        for f in ("x", "y", "z"):
+            abs_data[f] = data[f]
+        t_begin = 1.7e9  # epoch-like
+        abs_data["time"] = t_begin + np.linspace(0, 0.099, len(data))
+        sc = drivers.decode(LidType.VELODYNE, abs_data, t_begin,
+                            blind=0.5, point_filter_num=2)
+        assert len(sc.pts) > 100  # not the placeholder
+        assert sc.offsets.min() >= 0 and sc.offsets.max() <= 0.11
+
+    def test_velodyne_end_relative_time_normalized(self):
+        """Negative (scan-end-relative) offsets are shifted to
+        begin-relative."""
+        data = _velodyne_scan()
+        data["time"] = np.linspace(-0.099, 0.0, len(data))
+        sc = drivers.decode(LidType.VELODYNE, data, 100.0,
+                            blind=0.5, point_filter_num=2)
+        assert len(sc.pts) > 100
+        assert sc.offsets.min() >= 0 and sc.offsets.max() <= 0.11
+
     def test_velodyne_azimuth_fallback(self):
         data = _velodyne_scan(with_time=False)
         sc = drivers.decode(LidType.VELODYNE, data, 100.0, point_filter_num=1)

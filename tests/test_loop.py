@@ -53,7 +53,8 @@ class TestPoseGraph:
             pose_valid=jnp.ones(N, bool),
             ei=jnp.asarray(ei), ej=jnp.asarray(ej),
             Rm=jnp.asarray(Rm), tm=jnp.asarray(tm), w=jnp.asarray(w),
-            edge_valid=jnp.asarray(ev), anchor=jnp.int32(0),
+            edge_valid=jnp.asarray(ev),
+            anchor=jnp.asarray(np.arange(N) == 0),
         )
         return g, np.stack(Rg), pg
 
@@ -72,6 +73,46 @@ class TestPoseGraph:
         g, Rg, pg = self._chain_graph(rng, drift=0.0)
         R, p, chi2 = posegraph.optimize(g, n_iters=5, cg_iters=40)
         assert float(chi2) < 1e-3
+
+    def test_disconnected_components_each_anchored(self):
+        """Two session chains with no cross edges: each component must
+        hold its own gauge (anchor mask), not drift or collapse."""
+        rng = np.random.default_rng(8)
+        N = 10  # per chain
+        R = np.tile(np.eye(3, dtype=np.float32), (2 * N, 1, 1))
+        p = np.zeros((2 * N, 3), np.float32)
+        p[:N, 0] = np.arange(N)
+        p[N:, 0] = np.arange(N)
+        p[N:, 2] = 30.0  # second session offset
+        ei, ej, Rm, tm = [], [], [], []
+        for base in (0, N):
+            for i in range(N - 1):
+                ei.append(base + i)
+                ej.append(base + i + 1)
+                Rm.append(np.eye(3, dtype=np.float32))
+                tm.append(p[base + i + 1] - p[base + i]
+                          + rng.normal(size=3).astype(np.float32) * 0.01)
+        E = len(ei)
+        anchor = np.zeros(2 * N, bool)
+        anchor[0] = anchor[N] = True
+        g = posegraph.PoseGraph(
+            R=jnp.asarray(R), p=jnp.asarray(p),
+            pose_valid=jnp.ones(2 * N, bool),
+            ei=jnp.asarray(np.asarray(ei, np.int32)),
+            ej=jnp.asarray(np.asarray(ej, np.int32)),
+            Rm=jnp.asarray(np.stack(Rm)), tm=jnp.asarray(np.stack(tm)),
+            w=jnp.full((E, 6), 1e4, jnp.float32),
+            edge_valid=jnp.ones(E, bool),
+            anchor=jnp.asarray(anchor),
+        )
+        Ro, po, chi2 = posegraph.optimize(g, n_iters=5, cg_iters=40)
+        po = np.asarray(po)
+        assert np.isfinite(po).all()
+        # both anchors held
+        np.testing.assert_allclose(po[0], p[0], atol=1e-3)
+        np.testing.assert_allclose(po[N], p[N], atol=1e-3)
+        # chains stay near their odometry (no gauge collapse)
+        assert np.abs(po - p).max() < 0.2
 
 
 class TestIcp:
@@ -190,13 +231,43 @@ class TestBtc:
             jnp.asarray(pts1), jnp.ones(pts1.shape[0], bool), p
         )
         cand = database.search(db, desc1, planes1, 40, sp)
-        assert int(cand.frame) == 0, f"loop not found: {cand}"
-        assert float(cand.score) > 0.4
+        assert int(cand.frame[0]) == 0, f"loop not found: {cand}"
+        assert float(cand.score[0]) > 0.4
         # T_loop maps query-local points to target-local (= world) frame
-        pw = pts1 @ np.asarray(cand.R).T + np.asarray(cand.t)
+        pw = pts1 @ np.asarray(cand.R[0]).T + np.asarray(cand.t[0])
         pw_true = pts1 @ R_off.T + t_off
         err = np.linalg.norm(pw - pw_true, axis=1)
         assert np.median(err) < 0.5
+
+    def test_skip_near_gate_is_per_session(self):
+        """A fresh session must match a previous session's most recent
+        keyframes (relocalization) even when the global frame-id gap is
+        below skip_near_num — the gate applies same-session only
+        (reference: per-session STDescManager, skip_near disabled for
+        frozen sessions, voxelslam.cpp:401,1869)."""
+        rng = np.random.default_rng(11)
+        p = btc.BtcParams(line_filter_enable=False, n_proj=4, max_triangles=2048)
+        sp = database.SearchParams(skip_near_num=30)
+        db = database.Database(p, capacity_desc=1 << 14, capacity_kf=64)
+
+        pts0 = _keyframe_cloud(rng)
+        planes0, desc0 = btc.extract(
+            jnp.asarray(pts0), jnp.ones(pts0.shape[0], bool), p
+        )
+        db.add(desc0, planes0, 5, session_id=0)  # session 0, frame 5
+
+        R_off = _rand_rot(rng, 0.05)
+        t_off = rng.normal(size=3) * 1.0
+        pts1 = _keyframe_cloud(rng, R=R_off, t=t_off)
+        planes1, desc1 = btc.extract(
+            jnp.asarray(pts1), jnp.ones(pts1.shape[0], bool), p
+        )
+        # query frame 6, gap 1 << skip_near_num, but session 1
+        cand = database.search(db, desc1, planes1, 6, sp, query_session=1)
+        assert int(cand.frame[0]) == 5, "cross-session match blocked by skip_near"
+        # same query from session 0 must be blocked
+        cand0 = database.search(db, desc1, planes1, 6, sp, query_session=0)
+        assert int(cand0.frame[0]) == -1
 
     def test_no_false_loop_different_place(self):
         rng = np.random.default_rng(7)
@@ -221,4 +292,4 @@ class TestBtc:
             jnp.asarray(pts2), jnp.ones(pts2.shape[0], bool), p
         )
         cand = database.search(db, desc2, planes2, 40, sp)
-        assert float(cand.score) < 0.5 or int(cand.frame) == -1
+        assert float(cand.score[0]) < 0.5 or int(cand.frame[0]) == -1

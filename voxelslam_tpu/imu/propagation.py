@@ -89,6 +89,18 @@ def pack_imu_intervals(
     ts = imu_t[i0:i1].astype(np.float64).copy()
     gs = imu_gyr[i0:i1]
     as_ = imu_acc[i0:i1]
+    if len(ts) < 2:
+        # sensor dropout around the scan span: synthesize a boundary
+        # sample (reference synthesizes samples at scan start/end,
+        # ekf_imu.hpp:125-133) so propagation covers the span with the
+        # single available measurement held constant
+        if len(ts) == 0:
+            raise ValueError(
+                f"no IMU samples near scan span [{t_prev_end}, {t_end}]"
+            )
+        ts = np.asarray([min(ts[0], t_prev_end), t_end], np.float64)
+        gs = np.repeat(gs[:1], 2, axis=0)
+        as_ = np.repeat(as_[:1], 2, axis=0)
     dt_ext = float(t_end - ts[-1])
     ts[0] = max(ts[0], min(t_prev_end, ts[1] - 1e-6))
     ts[-1] = t_end if dt_ext < 0 else ts[-1]

@@ -111,8 +111,18 @@ def decode(
     elif lidar_type == LidType.VELODYNE:
         if "time" in names:
             offt = np.asarray(data["time"], np.float64)
-            if offt.size and offt[0] > 0.5 * offt.max(initial=0):
-                pass
+            # Normalize drivers that emit absolute stamps or
+            # end-relative (negative) offsets instead of begin-relative
+            # seconds — otherwise the 0 <= offt <= 0.11 cull silently
+            # degrades every scan to the 2-point placeholder.
+            if offt.size:
+                omin = float(offt.min())
+                if omin > 1e5:
+                    # absolute epoch stamps: rebase to the scan begin
+                    offt = offt - min(omin, t_begin)
+                elif omin < -1e-6:
+                    # end-relative ([-period, 0]): shift to begin-relative
+                    offt = offt - omin
         else:
             # azimuth reconstruction fallback (feature_point.hpp:200-252)
             yaw = np.arctan2(xyz[:, 1], xyz[:, 0])

@@ -63,6 +63,12 @@ class Database:
         self.occ = jnp.zeros((capacity_desc, 3, p.cut_num), bool)
         self.summary = jnp.zeros((capacity_desc, 3), dtype)
         self.frame = jnp.full((capacity_desc,), -(10**6), jnp.int32)
+        # session id per descriptor row: the reference keeps one
+        # STDescManager per session and disables the near-frame gate for
+        # frozen sessions (voxelslam.cpp:401,1869 skip_near_num =
+        # -(size+10)); we store the session inline so skip_near applies
+        # only to same-session keyframes.
+        self.session = jnp.full((capacity_desc,), -1, jnp.int32)
         self.count = 0
         # per-keyframe plane clouds for geometric verification / ICP
         M = p.max_vox_planes
@@ -72,13 +78,16 @@ class Database:
         self.n_kf = 0
         self.capacity_kf = capacity_kf
 
-    def add(self, desc: BtcDescriptors, planes: PlaneCloud, frame_id: int):
+    def add(self, desc: BtcDescriptors, planes: PlaneCloud,
+            frame_id: int, session_id: int = 0):
         """AddSTDescs (BTC.cpp:258-277) + plane cloud registration."""
         T = desc.sides.shape[0]
         if self.count + T > self.capacity:
             raise RuntimeError("descriptor database full")
         o = self.count
         fid = jnp.where(desc.valid, frame_id, -(10**6))
+        sid = jnp.where(desc.valid, session_id, -1).astype(jnp.int32)
+        self.session = jax.lax.dynamic_update_slice(self.session, sid, (o,))
         self.sides = jax.lax.dynamic_update_slice(self.sides, desc.sides, (o, 0))
         self.verts = jax.lax.dynamic_update_slice(
             self.verts, desc.verts, (o, 0, 0)
@@ -99,12 +108,17 @@ class Database:
         self.n_kf = max(self.n_kf, frame_id + 1)
 
 
-class LoopCandidate(NamedTuple):
-    frame: jnp.ndarray  # () int32 target keyframe (-1 = none)
-    score: jnp.ndarray  # () plane-verify score
-    R: jnp.ndarray  # (3, 3) T_loop rotation
-    t: jnp.ndarray  # (3,)
-    votes: jnp.ndarray
+class LoopCandidates(NamedTuple):
+    """Top-k verified candidates, sorted by descending plane score.
+    Frames with score ≤ icp_threshold have frame = -1.  The reference
+    ICP-verifies every candidate above threshold per session
+    (voxelslam.cpp:1987-1999), not just the argmax."""
+
+    frame: jnp.ndarray  # (C,) int32 target keyframe (-1 = none)
+    score: jnp.ndarray  # (C,) plane-verify score
+    R: jnp.ndarray  # (C, 3, 3) T_loop rotation
+    t: jnp.ndarray  # (C, 3)
+    votes: jnp.ndarray  # (C,)
 
 
 def _kabsch(src: jnp.ndarray, dst: jnp.ndarray):
@@ -130,8 +144,14 @@ def search(
     query_frame: int,
     sp: SearchParams,
     target_frames_valid: np.ndarray | None = None,
-) -> LoopCandidate:
-    """Full SearchLoop (BTC.cpp:205-256) against the database."""
+    query_session: int = 0,
+) -> LoopCandidates:
+    """Full SearchLoop (BTC.cpp:205-256) against the database.
+
+    The skip_near gate applies only to keyframes of `query_session`:
+    earlier (frozen) sessions are always searchable, matching the
+    reference's per-session STDescManager with the gate disabled for
+    loaded maps (voxelslam.cpp:401,1869)."""
     Q = query.sides.shape[0]
     D = db.sides.shape[0]
     dtype = db.sides.dtype
@@ -144,7 +164,12 @@ def search(
         + jnp.sum(db.sides * db.sides, axis=1)[None, :]
     )
     thr = jnp.linalg.norm(qs, axis=1) * sp.rough_dis_threshold  # (Q,)
-    frame_ok = (query_frame - db.frame) > sp.skip_near_num
+    same_sess = db.session == query_session
+    frame_ok = jnp.where(
+        same_sess,
+        (query_frame - db.frame) > sp.skip_near_num,
+        db.frame >= 0,  # other sessions: any valid row
+    )
     ok = (
         query.valid[:, None]
         & frame_ok[None, :]
@@ -223,12 +248,13 @@ def search(
         return jnp.where(usable, score, -1.0), Rb, tb, bestv
 
     scores, Rbs, tbs, bvs = jax.vmap(verify)(cand_frames, cand_votes)
-    best = jnp.argmax(scores)
-    found = scores[best] > sp.icp_threshold
-    return LoopCandidate(
-        frame=jnp.where(found, cand_frames[best], -1),
-        score=scores[best],
-        R=Rbs[best],
-        t=tbs[best],
-        votes=bvs[best],
+    order = jnp.argsort(-scores)
+    scores = scores[order]
+    found = scores > sp.icp_threshold
+    return LoopCandidates(
+        frame=jnp.where(found, cand_frames[order], -1),
+        score=scores,
+        R=Rbs[order],
+        t=tbs[order],
+        votes=bvs[order],
     )

@@ -204,28 +204,38 @@ class LoopManager:
         planes, desc = btc.extract(
             jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_mask), self.p
         )
-        cand = database.search(
-            self.db, desc, planes, kf.id, self.sp
+        cands = database.search(
+            self.db, desc, planes, kf.id, self.sp, query_session=kf.session
         )
-        self.db.add(desc, planes, kf.id)
+        self.db.add(desc, planes, kf.id, session_id=kf.session)
 
-        frame = int(cand.frame)
-        if frame < 0:
-            return None
-
-        tgt = self.keyframes[frame]
-        # ICP refinement between plane clouds (icp_normal gate)
-        tgt_planes = btc.PlaneCloud(
-            center=self.db.kf_plane_c[frame],
-            normal=self.db.kf_plane_n[frame],
-            valid=self.db.kf_plane_v[frame],
-        )
-        res = icp.icp_plane(
-            planes.center, planes.normal, planes.valid,
-            tgt_planes.center, tgt_planes.normal, tgt_planes.valid,
-            cand.R, cand.t, icp_eigval=self.icp_eigval,
-        )
-        if not bool(res.accepted):
+        # ICP-verify candidates in descending score order until one
+        # accepts — the reference tries every candidate above its
+        # per-session threshold (voxelslam.cpp:1987-1999), not just the
+        # argmax, so near-miss top scores don't drop real loops.
+        frames = np.asarray(cands.frame)
+        res = None
+        tgt = None
+        for ci in range(frames.shape[0]):
+            frame = int(frames[ci])
+            if frame < 0:
+                break  # sorted by score: rest are below threshold
+            cand_tgt = self.keyframes[frame]
+            tgt_planes = btc.PlaneCloud(
+                center=self.db.kf_plane_c[frame],
+                normal=self.db.kf_plane_n[frame],
+                valid=self.db.kf_plane_v[frame],
+            )
+            r = icp.icp_plane(
+                planes.center, planes.normal, planes.valid,
+                tgt_planes.center, tgt_planes.normal, tgt_planes.valid,
+                cands.R[ci], cands.t[ci], icp_eigval=self.icp_eigval,
+            )
+            if bool(r.accepted):
+                res = r
+                tgt = cand_tgt
+                break
+        if res is None:
             return None
         self.n_loops_found += 1
 
@@ -303,6 +313,27 @@ class LoopManager:
             tm.append(e.t)
             w.append(1.0 / np.maximum(e.v6, 1e-8))
         E = len(ei)
+        # One anchor per connected component of sessions (PGO_Edges
+        # connect/tras, loop_refine.hpp:163-267): a disconnected
+        # session's chain has no gauge otherwise.  Union-find over
+        # sessions linked by loop edges; anchor each root session's
+        # first pose.
+        parent = list(range(len(self.sessions)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for e in self.loop_edges:
+            ra, rb = find(e.s1), find(e.s2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        anchor = np.zeros(n, bool)
+        for si, (off, sess) in enumerate(zip(offsets, self.sessions)):
+            if sess and find(si) == si:
+                anchor[off] = True
         g = posegraph.PoseGraph(
             R=jnp.asarray(Rs), p=jnp.asarray(ps),
             pose_valid=jnp.ones(n, bool),
@@ -312,7 +343,7 @@ class LoopManager:
             tm=jnp.asarray(np.stack(tm).astype(np.float32)),
             w=jnp.asarray(np.stack(w).astype(np.float32)),
             edge_valid=jnp.ones(E, bool),
-            anchor=jnp.int32(0),
+            anchor=jnp.asarray(anchor),
         )
         return g, offsets
 

@@ -45,7 +45,12 @@ class PoseGraph(NamedTuple):
     tm: jnp.ndarray  # (E, 3) measured relative translation
     w: jnp.ndarray  # (E, 6) information diag (1/variance)
     edge_valid: jnp.ndarray  # (E,)
-    anchor: jnp.ndarray  # () int32 anchored pose index
+    # (N,) bool anchored-pose mask.  One anchor per connected component:
+    # before the first cross-session link, a second session's chain is
+    # otherwise gauge-free (the reference only merges sessions into one
+    # graph once they connect, voxelslam.cpp:1741-1802, with a prior on
+    # the root session's first pose).
+    anchor: jnp.ndarray
 
 
 def _edge_residual(R, p, g: PoseGraph):
@@ -97,7 +102,7 @@ def _hv_product(v, Ji, Jj, g: PoseGraph, n_poses, anchor_w):
     out = jnp.zeros((n_poses, 6), v.dtype)
     out = out.at[g.ei].add(jnp.einsum("eab,ea->eb", Ji, Jv))
     out = out.at[g.ej].add(jnp.einsum("eab,ea->eb", Jj, Jv))
-    out = out.at[g.anchor].add(anchor_w * v[g.anchor])
+    out = out + anchor_w * v * g.anchor.astype(v.dtype)[:, None]
     return out
 
 
@@ -110,7 +115,10 @@ def _block_jacobi(Ji, Jj, g: PoseGraph, n_poses, anchor_w, dtype):
     blocks = jnp.zeros((n_poses, 6, 6), dtype)
     blocks = blocks.at[g.ei].add(Bi)
     blocks = blocks.at[g.ej].add(Bj)
-    blocks = blocks.at[g.anchor].add(anchor_w * jnp.eye(6, dtype=dtype))
+    blocks = blocks + (
+        anchor_w * g.anchor.astype(dtype)[:, None, None]
+        * jnp.eye(6, dtype=dtype)
+    )
     # regularize empty poses
     blocks = blocks + jnp.eye(6, dtype=dtype) * 1e-6
     return jnp.linalg.inv(blocks)

@@ -77,21 +77,17 @@ def carry_shardings(mesh: Mesh):
     return build
 
 
-def dryrun(n_devices: int) -> None:
-    """Build a tiny pipeline, jit the FULL steady step over an
-    n-device mesh with real shardings, run one step."""
-    from ..core import synthetic
+def _tiny_problem(n_devices: int):
+    """A tiny but non-trivial steady-step problem used by the dryrun."""
     from ..imu import propagation as prop
     from ..map.voxelmap import MapParams
     from ..odom import pipeline as pl
 
-    mesh = make_mesh(n_devices)
-    n_ds = 16 * n_devices
     pp = pl.PipelineParams(
         map_params=MapParams(capacity=1 << 10, max_probe=8, voxel_size=1.0),
         win_size=3,
         n_raw=32 * n_devices,
-        n_ds=n_ds,
+        n_ds=16 * n_devices,
         n_imu=8,
         max_ba_voxels=64,
         scatter_passes=1,
@@ -118,11 +114,23 @@ def dryrun(n_devices: int) -> None:
         dt_ext=jnp.zeros((), jnp.float32),
         t_end=jnp.asarray(0.1, jnp.float32),
     )
+    return pp, imu_noise, carry, inp
 
-    in_shard = (
-        carry_shardings(mesh)(carry),
-        scan_input_shardings(mesh),
-    )
+
+def dryrun(n_devices: int, check_vs_single: bool = True) -> None:
+    """Jit the FULL steady step over an n-device mesh with real
+    shardings, run one step, and (by default) assert the sharded
+    result matches a single-device run of the same step.
+
+    Correctness dryrun for the fork-join/psum inventory of SURVEY
+    §2.14 (reference fork-join pools, voxel_map.hpp:306-335): the
+    point-dim sharding turns the ESIKF normal equations and the BA
+    Hessian assembly into XLA psums over the mesh; equality with the
+    single-device run validates those collectives end to end.
+    """
+    from ..odom import pipeline as pl
+
+    pp, imu_noise, carry, inp = _tiny_problem(n_devices)
     ext_R = jnp.eye(3, dtype=jnp.float32)
     ext_t = jnp.zeros(3, jnp.float32)
 
@@ -132,6 +140,8 @@ def dryrun(n_devices: int) -> None:
             jnp.asarray(1.0, jnp.float32),
         )
 
+    mesh = make_mesh(n_devices)
+    in_shard = (carry_shardings(mesh)(carry), scan_input_shardings(mesh))
     with mesh:
         carry_s = jax.device_put(carry, in_shard[0])
         inp_s = jax.device_put(inp, in_shard[1])
@@ -139,3 +149,25 @@ def dryrun(n_devices: int) -> None:
         new_carry, out = fn(carry_s, inp_s)
         jax.block_until_ready(new_carry.x.p)
     assert np.isfinite(np.asarray(out.x.p)).all()
+
+    if not check_vs_single:
+        return
+    # Single-device reference run of the same step on device 0.
+    dev0 = jax.devices()[0]
+    carry_1 = jax.device_put(carry, dev0)
+    inp_1 = jax.device_put(inp, dev0)
+    new_carry_1, out_1 = jax.jit(step)(carry_1, inp_1)
+    np.testing.assert_allclose(
+        np.asarray(out.x.p), np.asarray(out_1.x.p), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.x.R), np.asarray(out_1.x.R), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_carry.x.p), np.asarray(new_carry_1.x.p),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_carry.win.xs.p), np.asarray(new_carry_1.win.xs.p),
+        atol=1e-5, rtol=1e-5,
+    )

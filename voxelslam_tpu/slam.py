@@ -367,7 +367,22 @@ class SlamFrontend:
 
     def apply_loop_correction(self, event: dict):
         """Swap in the post-PGO map and transform the window by the
-        rigid correction (loop_update handshake, voxelslam.cpp:1478)."""
+        rigid correction (loop_update handshake, voxelslam.cpp:1478).
+
+        Serialized with the async pipeline: any batch dispatched with
+        the pre-correction carry is resolved FIRST and its drained
+        ScanPoses are transformed by (dx_R, dx_p), so the sequential
+        PGO edge bridging the correction event stays consistent (the
+        reference serializes this via the loop_update handshake)."""
+        mark = len(self.scan_poses)
+        self._resolve_pending()
+        if len(self.scan_poses) > mark:
+            dxR = np.asarray(event["dx_R"], np.float32)
+            dxp = np.asarray(event["dx_p"], np.float32)
+            for sp in self.scan_poses[mark:]:
+                sp["R"] = dxR @ sp["R"]
+                sp["p"] = dxR @ sp["p"] + dxp
+                sp["v"] = dxR @ sp["v"]
         kfs = event["kf_clouds"]
         K = len(kfs)
         P = kfs[0][0].shape[0]
