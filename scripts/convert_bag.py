@@ -20,6 +20,12 @@ import argparse
 import os
 import sys
 
+# host-side tool: never claim the TPU (axon registers in every process)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,7 +1,10 @@
-"""Per-stage timing of the scan step at production shapes on the TPU.
+"""Per-stage timing + roofline utilization of the scan step at
+production shapes on the TPU.
 
-Times each pipeline stage as its own jitted program to locate the
-bottleneck (run with the default axon env; one TPU process at a time).
+Times each pipeline stage as its own jitted program and reports XLA's
+cost analysis (FLOPs, HBM bytes) against v5e peaks, so the limiting
+resource per stage is visible (run with the default axon env; one TPU
+process at a time).
 """
 
 import sys
@@ -25,21 +28,42 @@ from voxelslam_tpu.map.voxelmap import MapParams  # noqa: E402
 from voxelslam_tpu.odom import esikf, pipeline as pl  # noqa: E402
 from voxelslam_tpu.ops import downsample  # noqa: E402
 
+# v5e-1 peaks (per chip): ~197 TFLOP/s bf16 MXU (f32-highest runs the
+# MXU in multi-pass, ~1/4 of that), ~819 GB/s HBM
+PEAK_F32 = 197e12 / 4.0
+PEAK_HBM = 819e9
+
 
 def timeit(name, fn, *args, n=10):
-    out = fn(*args)
+    jfn = jax.jit(fn)
+    try:
+        cost = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        flops, byts = 0.0, 0.0
+    out = jfn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
+        out = jfn(*args)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / n * 1000
-    print(f"{name:28s} {dt:8.2f} ms")
+    dt = (time.time() - t0) / n
+    mfu = flops / dt / PEAK_F32 * 100
+    hbm = byts / dt / PEAK_HBM * 100
+    print(
+        f"{name:28s} {dt * 1000:8.2f} ms   "
+        f"{flops / 1e9:8.2f} GF ({mfu:5.1f}% MXU)  "
+        f"{byts / 1e6:8.1f} MB ({hbm:5.1f}% HBM)"
+    )
     return out
 
 
 def main():
     print("device:", jax.devices()[0])
+    print(f"{'stage':28s} {'time':>11s}   {'flops':>20s}  {'bytes':>18s}")
     mp_ = MapParams(capacity=1 << 17, max_probe=16, voxel_size=1.0)
     W, N_DS, N_RAW = 10, 4096, 32768
     rng = np.random.default_rng(0)
@@ -66,107 +90,112 @@ def main():
     valid = jnp.ones((W, N_DS), bool)
     vm = voxelmap.empty(mp_, W)
 
-    scatter_j = jax.jit(
-        lambda vm, pts, var, R, p, valid: voxelmap.scatter(
-            vm, pts, var, R, p, valid, jnp.float32(0), mp_
-        )
-    )
-    vm, scratch, _ = timeit("scatter (W=10 x 4096)", scatter_j, vm, pts_b, var, R, p, valid)
+    def scatter_f(vm, pts, var, R, p, valid):
+        return voxelmap.scatter(vm, pts, var, R, p, valid, jnp.float32(0), mp_)
+
+    vm, scratch, _ = timeit("scatter (W=10 x 4096)", scatter_f, vm, pts_b,
+                            var, R, p, valid)
 
     # scatter sub-stages
     flat_w = (jnp.einsum("wij,wnj->wni", R, pts_b) + p[:, None, :]).reshape(-1, 3)
     fv = valid.reshape(-1)
-    assign_j = jax.jit(lambda vm, q, v: voxelmap.assign(vm, q, v, mp_))
-    timeit("  assign (40960 pts)", assign_j, vm, flat_w, fv)
+    timeit("  assign (40960 pts)",
+           lambda vm, q, v: voxelmap.assign(vm, q, v, mp_), vm, flat_w, fv)
     from voxelslam_tpu.map import hashmap as hm
-    coord, lvl, _ = assign_j(vm, flat_w, fv)
-    ins_j = jax.jit(lambda k, c, l, v: hm.insert_points(k, c, l, v, 16, 16384))
-    timeit("  insert_points", ins_j, vm.keys, coord, lvl, fv)
-    lookup_j = jax.jit(lambda k, c, l: hm.lookup(k, c, l, 16))
-    timeit("  lookup (40960)", lookup_j, vm.keys, coord, lvl)
+    coord, lvl, slot0 = jax.jit(
+        lambda vm, q, v: voxelmap.assign(vm, q, v, mp_))(vm, flat_w, fv)
+    timeit("  insert_points (resolved)",
+           lambda k, c, l, v, s0: hm.insert_points(k, c, l, v, 16, 16384,
+                                                   known_slot=s0),
+           vm.keys, coord, lvl, fv, slot0)
+    timeit("  lookup (40960)",
+           lambda k, c, l: hm.lookup(k, c, l, 16), vm.keys, coord, lvl)
 
-    recut_j = jax.jit(lambda vm, s: voxelmap.recut(vm, s, mp_))
-    vm, _ = timeit("recut (131k slots)", recut_j, vm, scratch)
+    vm, _ = timeit("recut full (131k slots)",
+                   lambda vm, s: voxelmap.recut(vm, s, mp_), vm, scratch)
 
-    # incremental steady-state path: one-scan push + window_sums
-    push_j = jax.jit(
-        lambda vm, q, v, R1, p1, m: voxelmap.push_scan(
-            vm, q, v, R1, p1, m, jnp.int32(W - 1), jnp.float32(0), mp_
-        )
-    )
-    timeit("push_scan (1 x 4096)", push_j, vm, pts_b[0], var[0], R[0],
-           p[0], valid[0])
-    wsums_j = jax.jit(lambda vm, R, p: voxelmap.window_sums(vm, R, p, mp_))
-    timeit("window_sums (131k x W)", wsums_j, vm, R, p)
-    mcol_j = jax.jit(
-        lambda vm, R1, p1: voxelmap.marginalize_column(
-            vm, R1, p1, jnp.int32(0), mp_
-        )
-    )
-    timeit("marginalize_column", mcol_j, vm, R[0], p[0])
-    slide_j = jax.jit(voxelmap.slide_window_cols)
-    timeit("slide_window_cols", slide_j, vm)
+    # incremental steady-state path
+    def push_f(vm, q, v, R1, p1, m):
+        return voxelmap.push_scan(vm, q, v, R1, p1, m, jnp.int32(W - 1),
+                                  jnp.float32(0), mp_)
+
+    vm2, _, touched = timeit("push_scan (1 x 4096)", push_f, vm, pts_b[0],
+                             var[0], R[0], p[0], valid[0])
+    timeit("recut_touched (<=4096)",
+           lambda vm, R, p, t: voxelmap.recut_touched(vm, R, p, t, mp_, N_DS),
+           vm2, R, p, touched)
+    timeit("window_sums full (131k x W)",
+           lambda vm, R, p: voxelmap.window_sums(vm, R, p, mp_), vm, R, p)
+    timeit("marginalize_column (compact)",
+           lambda vm, R1, p1: voxelmap.marginalize_column(
+               vm, R1, p1, jnp.int32(0), mp_, size=N_DS), vm, R[0], p[0])
+    timeit("clear_window_col (ring)",
+           lambda vm: voxelmap.clear_window_col(vm, jnp.int32(0)), vm)
+    timeit("slide_window_cols (roll)", voxelmap.slide_window_cols, vm)
 
     match_pts = pts_b[0]
     var1 = var[0]
     m1 = valid[0]
-    match_j = jax.jit(
-        lambda vm, q, v, m: voxelmap.match(vm, q, v, m, mp_)
-    )
-    timeit("match (4096 pts)", match_j, vm, match_pts, var1, m1)
+    timeit("match (4096 pts)",
+           lambda vm, q, v, m: voxelmap.match(vm, q, v, m, mp_),
+           vm, match_pts, var1, m1)
 
     from voxelslam_tpu.core import state as st
     x = st.identity()
-    esikf_j = jax.jit(
-        lambda x, vm, q, v, m: esikf.update(x, vm, q, v, m, mp_)
-    )
-    timeit("esikf update (4 iters)", esikf_j, x, vm, match_pts, var1, m1)
+    timeit("esikf (4 it / 2 match)",
+           lambda x, vm, q, v, m: esikf.update(x, vm, q, v, m, mp_),
+           x, vm, match_pts, var1, m1)
 
-    harvest_j = jax.jit(lambda vm, s: lf.harvest(vm, s, mp_, 4096))
-    factors = timeit("harvest (4096 factors)", harvest_j, vm, scratch)
+    add_n = jnp.sum(vm.win_n, axis=1)
+    factors = timeit("harvest (4096 factors)",
+                     lambda vm, a: lf.harvest(vm, a, mp_, 4096), vm, add_n)
 
     xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape), st.identity())
     xs = xs._replace(R=R, p=p)
     from voxelslam_tpu.imu import preintegration as pre
     pres = pre.identity((W - 1,))
-    pres = pres._replace(cov=jnp.broadcast_to(jnp.eye(15, dtype=jnp.float32) * 1e-4, (W - 1, 15, 15)), dtime=jnp.full((W - 1,), 0.1, jnp.float32))
-
-    hess_j = jax.jit(
-        lambda f, R, p: lf.evaluate_hess(
-            f, lf.evaluate_residual(f, R, p)[1], R, p
-        )
+    pres = pres._replace(
+        cov=jnp.broadcast_to(jnp.eye(15, dtype=jnp.float32) * 1e-4,
+                             (W - 1, 15, 15)),
+        dtime=jnp.full((W - 1,), 0.1, jnp.float32),
     )
-    timeit("lidar hess (4096 voxels)", hess_j, factors, R, p)
 
-    liba_j = jax.jit(
-        lambda xs, f, pres: opt.li_ba(xs, f, pres, max_iter=3)
-    )
-    timeit("li_ba (3 LM iters)", liba_j, xs, factors, pres)
+    timeit("lidar hess (4096 voxels)",
+           lambda f, R, p: lf.evaluate_hess(
+               f, lf.evaluate_residual(f, R, p)[1], R, p), factors, R, p)
+    timeit("li_ba (2 LM iters)",
+           lambda xs, f, pres: opt.li_ba(xs, f, pres, max_iter=2),
+           xs, factors, pres)
 
     raw = jnp.asarray(rng.uniform(-6, 6, (N_RAW, 3)), jnp.float32)
     rmask = jnp.ones((N_RAW,), bool)
-    ds_j = jax.jit(lambda r, m: downsample.voxel_average(r, m, 0.1, N_DS))
-    timeit("downsample (32k raw)", ds_j, raw, rmask)
+    timeit("downsample (32k raw)",
+           lambda r, m: downsample.voxel_average(r, m, 0.1, N_DS), raw, rmask)
 
-    margi_j = jax.jit(
-        lambda vm, pts, var, R, p, m: voxelmap.marginalize(vm, pts, var, R, p, m, mp_)
+    timeit("marginalize (find-or-create)",
+           lambda vm, pts, var, R, p, m: voxelmap.marginalize(
+               vm, pts, var, R, p, m, mp_),
+           vm, match_pts, var1, R[0], p[0], m1)
+
+    # ---- the full fused steady step at bench shapes ----
+    ppl = pl.PipelineParams(
+        map_params=mp_, win_size=W, n_raw=N_RAW, n_ds=N_DS, n_imu=64,
+        max_ba_voxels=4096, ba_max_iter=2,
     )
-    timeit("marginalize", margi_j, vm, match_pts, var1, R[0], p[0], m1)
+    imu_noise = prop.noise_from_cfg(0.01, 0.1, 1e-4, 1e-4)
+    carry = pl.make_empty_carry(ppl, imu_noise)
+    carry = carry._replace(win_count=jnp.int32(W), vmap=vm)
+    flat = jnp.zeros((pl.flat_len(ppl),), jnp.float32)
+    flat = flat.at[N_RAW * 4 + 64 * 8].set(4096.0)
+    flat = flat.at[N_RAW * 4 + 64 * 8 + 1].set(32.0)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
 
-    # micro: the scatter building blocks
-    from voxelslam_tpu.ops import segsum
-    K = 40960
-    idx = jnp.sort(jnp.asarray(rng.integers(0, 4000, K), jnp.int32))
-    vals81 = jnp.asarray(rng.normal(size=(K, 81)).astype(np.float32))
-    seg_j = jax.jit(lambda i, v: segsum.sorted_segment_add(
-        jnp.zeros((1 << 17, 81), jnp.float32), i, v))
-    timeit("micro segadd (40960x81)", seg_j, idx, vals81)
-    keys_r = jnp.asarray(rng.integers(-(2**31), 2**31 - 1, K), jnp.int32)
-    sort_j = jax.jit(lambda k: jnp.argsort(k))
-    timeit("micro argsort (40960)", sort_j, keys_r)
-    scat_j = jax.jit(lambda i, v: jnp.zeros((1 << 17, 81), jnp.float32)
-                     .at[i].add(v, mode="drop", indices_are_sorted=True))
-    timeit("micro rawscatter81", scat_j, idx, vals81)
+    def step_f(carry, flat):
+        return pl.steady_step_flat(carry, flat, ppl, imu_noise, eye3, z3,
+                                   jnp.float32(1.0))
+
+    timeit("FULL steady_step", step_f, carry, flat, n=5)
 
 
 if __name__ == "__main__":

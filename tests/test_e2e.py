@@ -69,6 +69,43 @@ class TestEndToEnd:
         # (0.06 = 5x headroom over the observed ~0.01 steady-state ATE)
         assert ate_tail < 0.06, f"ATE tail {ate_tail:.3f} m, errs={errs}"
 
+    def test_violent_start(self):
+        """Jungle-challenge-style start (reference README.md:150-157):
+        fast rotation from the first moving scans (~300 deg/s peak)
+        plus gyro/accel biases and noise.  The backward-from-scan-end
+        re-deskew in dynamic init (Initialization::motion_blur,
+        voxelslam.cpp:488-561) must either converge or reset cleanly —
+        here it must converge with a bounded ATE."""
+        traj = synthetic.Trajectory(
+            amp=np.array([1.0, 0.8, 0.3]),
+            yaw_amp=2.0, yaw_freq=0.45, pitch_amp=0.35,
+            ramp=0.6, t_start=1.0,
+        )
+        data = synthetic.simulate(
+            n_scans=22, traj=traj,
+            dirs=synthetic.lidar_dirs(20, 80, fov_v=55.0, fov_h=140.0),
+            gyr_bias=(0.02, -0.015, 0.01), acc_bias=(0.05, -0.03, 0.08),
+            gyr_noise=1e-3, acc_noise=1e-2,
+            t0=0.5, seed=13,
+        )
+        # the scenario is genuinely violent: > 200 deg/s body rate
+        peak = np.degrees(np.linalg.norm(data.imu_gyr, axis=1).max())
+        assert peak > 200.0, f"peak rate only {peak:.0f} deg/s"
+        fe = SlamFrontend(small_config())
+        fe.run_synthetic(data)
+        assert fe.phase == "STEADY", f"stuck in {fe.phase}"
+        assert fe.session <= 1, "more than one reset on violent start"
+        ts, Rs, ps = fe.trajectory()
+        errs = []
+        for i in range(len(ts)):
+            j = int(np.argmin(np.abs(data.gt_t - ts[i])))
+            errs.append(np.linalg.norm(ps[i] - data.gt_p[j]))
+        errs = np.array(errs)
+        n_tail = max(len(errs) // 2, 1)
+        ate_tail = float(np.sqrt(np.mean(errs[-n_tail:] ** 2)))
+        assert np.isfinite(errs).all()
+        assert ate_tail < 0.08, f"violent-start ATE tail {ate_tail:.3f} m"
+
     def test_outputs_flow(self, synth_data):
         traj, data = synth_data
         fe = SlamFrontend(small_config())

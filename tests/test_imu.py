@@ -51,6 +51,41 @@ class TestPropagation:
         assert (np.diag(c)[:9] > np.diag(np.asarray(x0.cov))[:9]).all()
         np.testing.assert_allclose(c, c.T, atol=1e-8)
 
+    def test_backward_propagation_inverts_forward(self):
+        """propagate_backward from the forward result must reproduce
+        the forward interval-start pose log (it is the exact inverse
+        recurrence) — the dynamic-init re-deskew anchor
+        (Initialization::motion_blur, voxelslam.cpp:488-561)."""
+        traj = synthetic.Trajectory(
+            yaw_amp=1.2, yaw_freq=0.4, amp=np.array([2.0, 1.5, 0.5])
+        )
+        data = _synth(traj=traj)
+        sc = data.scans[1]
+        noise = prop.noise_from_cfg(0.1, 0.1, 1e-4, 1e-4)
+        x0 = _gt_state(data, traj, data.scans[0].t_end)
+        dt, gyr, acc, offt, valid, dt_ext = prop.pack_imu_intervals(
+            data.imu_t, data.imu_gyr, data.imu_acc,
+            data.scans[0].t_end, sc.t_begin, sc.t_end, 64,
+        )
+        imus = prop.ImuBatch(*map(jnp.asarray, (dt, gyr, acc, offt, valid)))
+        x1, poses_f = prop.propagate(
+            x0, imus, noise, jnp.float32(dt_ext), jnp.float32(1.0),
+            jnp.float32(sc.t_end),
+        )
+        poses_b = prop.propagate_backward(
+            x1, imus, jnp.float32(dt_ext), jnp.float32(1.0)
+        )
+        v = valid
+        np.testing.assert_allclose(
+            np.asarray(poses_b.R)[v], np.asarray(poses_f.R)[v], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses_b.p)[v], np.asarray(poses_f.p)[v], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses_b.v)[v], np.asarray(poses_f.v)[v], atol=1e-4
+        )
+
     def test_pack_intervals_imu_dropout(self):
         """Sensor dropout: one (or zero) IMU samples near the span must
         not crash the public process_scan path — a boundary sample is

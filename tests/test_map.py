@@ -189,7 +189,13 @@ class TestVoxelMapPlanes:
         vm, scratch, _ = _scatter_scan(vm, pts)
         occ0 = int(hashmap.stats(vm.keys).occupied)
         assert occ0 > 0
+        # voxels holding live (un-marginalized) window clusters are
+        # never dropped, however stale their travel stamp
         vm2 = voxelmap.evict(vm, jnp.float32(1000.0), PARAMS)
+        assert int(hashmap.stats(vm2.keys).occupied) == occ0
+        # once the window content is gone, stale voxels evict
+        vm_nowin = vm._replace(win_n=jnp.zeros_like(vm.win_n))
+        vm2 = voxelmap.evict(vm_nowin, jnp.float32(1000.0), PARAMS)
         assert int(hashmap.stats(vm2.keys).occupied) == 0
         vm3 = voxelmap.evict(vm, jnp.float32(100.0), PARAMS)
         assert int(hashmap.stats(vm3.keys).occupied) == occ0

@@ -51,6 +51,24 @@ class TestVoxelSLAM:
         assert len(sps) == len(slam.loop.sessions[0])
         assert "pts" in sps[0]
 
+    def test_continuous_bottom_up_gba(self, synth_data, tmp_path):
+        """Bottom-up HBA windows run DURING the session (the
+        reference's thd_globalmapping background pass), so edges
+        accumulate before finish and finish only drains leftovers."""
+        traj, data = synth_data
+        cfg = small_config()
+        slam = VoxelSLAM(cfg)
+        # small windows so the short synthetic run produces several
+        slam.gmap.hp = slam.gmap.hp._replace(win=3, stride=2)
+        slam.run_synthetic(data)
+        mid_windows = slam.frontend.telemetry.counters.get("gba_windows", 0)
+        mid_edges = len(slam.gmap.edges)
+        assert mid_windows >= 1, "no bottom-up window ran during the session"
+        assert mid_edges >= 1
+        slam.finish()
+        # finish added at most the ragged leftovers, not a full re-sweep
+        assert len(slam.gmap.edges) >= mid_edges
+
     def test_loop_correction_preserves_tracking(self, synth_data):
         """Applying a (small) PGO correction mid-run keeps the
         front-end matching its rebuilt map."""

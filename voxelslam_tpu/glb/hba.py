@@ -24,7 +24,7 @@ invocation and the host just sweeps the list.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -136,92 +136,141 @@ def window_ba(
 
 class GlobalMapper:
     """Host-side bottom-up sweep + submap level
-    (thd_globalmapping, voxelslam.cpp:2485-2595)."""
+    (thd_globalmapping, voxelslam.cpp:2485-2595).
+
+    Bottom-up runs CONTINUOUSLY like the reference's background
+    thread: the orchestrator calls `bottom_up_incremental` between
+    scans, which processes at most one ready window (≥ win keyframes
+    past the per-session cursor) per call — bounded work per scan, and
+    finish() only has to drain the leftover windows instead of
+    sweeping the whole trajectory (finish wall-time ~constant in
+    trajectory length)."""
 
     def __init__(self, hp: HbaParams, kf_points: int = 16384):
         self.hp = hp
         self.kf_points = kf_points
         self.edges: List[dict] = []  # gba_edges1: keyframe-level
         self.submaps: List[dict] = []  # merged submap clouds + poses
+        self._next_start: dict = {}  # per-session window cursor
 
-    def bottom_up_all(self, keyframes: List) -> None:
-        """Per-session bottom-up sweeps (windows must not span
-        session boundaries — poses of unlinked sessions are in
-        different frames)."""
-        self.edges.clear()
-        self.submaps.clear()
+    def _by_session(self, keyframes: List) -> dict:
         sessions = {}
         for k in keyframes:
             sessions.setdefault(k.session, []).append(k)
-        for sess_kfs in sessions.values():
-            self.bottom_up(sess_kfs)
+        return sessions
+
+    def bottom_up_incremental(self, keyframes: List) -> int:
+        """Process at most ONE ready window across sessions.  Returns
+        the number of windows processed (0 or 1)."""
+        hp = self.hp
+        for sess, kfs in self._by_session(keyframes).items():
+            start = self._next_start.get(sess, 0)
+            if len(kfs) >= start + hp.win:
+                self._process_window(kfs[start : start + hp.win])
+                self._next_start[sess] = start + hp.stride
+                return 1
+        return 0
+
+    def bottom_up_drain(self, keyframes: List) -> int:
+        """Finish-time drain: sweep every remaining window (incl. the
+        ragged tail shorter than win but ≥ 2 keyframes)."""
+        hp = self.hp
+        n_done = 0
+        for sess, kfs in self._by_session(keyframes).items():
+            start = self._next_start.get(sess, 0)
+            while len(kfs) - start >= 2:
+                self._process_window(kfs[start : start + hp.win])
+                start += hp.stride
+                n_done += 1
+            self._next_start[sess] = max(start, self._next_start.get(sess, 0))
+        return n_done
+
+    def bottom_up_all(self, keyframes: List) -> None:
+        """Full re-sweep from scratch (used when keyframe poses were
+        rebuilt wholesale, e.g. tests / offline reprocessing)."""
+        self.edges.clear()
+        self.submaps.clear()
+        self._next_start.clear()
+        self.bottom_up_drain(keyframes)
 
     def bottom_up(self, keyframes: List) -> None:
-        """Sweep windows of keyframes (stride hp.stride); collect
-        hessian edges and submaps.  `keyframes` are loop.manager
-        Keyframe objects of ONE session."""
-        hp = self.hp
-        n = len(keyframes)
-        if n < 2:
+        """Sweep all windows of ONE session's keyframes."""
+        if len(keyframes) < 2:
             return
-        for start in range(0, max(n - hp.win + 1, 1), hp.stride):
-            kfs = keyframes[start : start + hp.win]
-            W = len(kfs)
-            if W < 2:
-                continue
-            P = self.kf_points
-            pts = np.zeros((hp.win, P, 3), np.float32)
-            mask = np.zeros((hp.win, P), bool)
-            R = np.tile(np.eye(3, dtype=np.float32), (hp.win, 1, 1))
-            p = np.zeros((hp.win, 3), np.float32)
-            for i, k in enumerate(kfs):
-                m = min(k.cloud.shape[0], P)
-                pts[i, :m] = k.cloud[:m]
-                mask[i, :m] = k.cloud_mask[:m]
-                R[i] = k.R0
-                p[i] = k.p0
-            R2, p2, edges, n_fact = window_ba(
-                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
-                jnp.asarray(p), hp,
-            )
-            R2 = np.asarray(R2)
-            p2 = np.asarray(p2)
-            ev = np.asarray(edges.valid)
-            for e in range(len(ev)):
-                i, j = int(edges.ei[e]), int(edges.ej[e])
-                if not ev[e] or i >= W or j >= W:
-                    continue
-                self.edges.append(
-                    dict(
-                        kf1=kfs[i].id, kf2=kfs[j].id,
-                        scan1=(kfs[i].session, kfs[i].first_scan),
-                        scan2=(kfs[j].session, kfs[j].first_scan),
-                        R=np.asarray(edges.Rm[e]),
-                        t=np.asarray(edges.tm[e]),
-                        v6=np.asarray(edges.v6[e]),
-                    )
-                )
-            # merged submap: base = first kf, all clouds re-expressed
-            base_R, base_p = R2[0], p2[0]
-            cloud = []
-            for i, k in enumerate(kfs):
-                pw = k.cloud[k.cloud_mask] @ R2[i].T + p2[i]
-                cloud.append((pw - base_p) @ base_R)
-            self.submaps.append(
-                dict(R0=base_R, p0=base_p,
-                     cloud=np.concatenate(cloud).astype(np.float32),
-                     first=kfs[0].id,
-                     scan=(kfs[0].session, kfs[0].first_scan))
-            )
+        hp = self.hp
+        for start in range(0, max(len(keyframes) - hp.win + 1, 1),
+                           hp.stride):
+            self._process_window(keyframes[start : start + hp.win])
 
-    def submap_level(self, max_submaps: int = 16,
+    def _process_window(self, kfs: List) -> None:
+        """One window BA: collect hessian edges + a merged submap."""
+        hp = self.hp
+        W = len(kfs)
+        if W < 2:
+            return
+        P = self.kf_points
+        pts = np.zeros((hp.win, P, 3), np.float32)
+        mask = np.zeros((hp.win, P), bool)
+        R = np.tile(np.eye(3, dtype=np.float32), (hp.win, 1, 1))
+        p = np.zeros((hp.win, 3), np.float32)
+        for i, k in enumerate(kfs):
+            m = min(k.cloud.shape[0], P)
+            pts[i, :m] = k.cloud[:m]
+            mask[i, :m] = k.cloud_mask[:m]
+            R[i] = k.R0
+            p[i] = k.p0
+        R2, p2, edges, n_fact = window_ba(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+            jnp.asarray(p), hp,
+        )
+        R2 = np.asarray(R2)
+        p2 = np.asarray(p2)
+        ev = np.asarray(edges.valid)
+        for e in range(len(ev)):
+            i, j = int(edges.ei[e]), int(edges.ej[e])
+            if not ev[e] or i >= W or j >= W:
+                continue
+            self.edges.append(
+                dict(
+                    kf1=kfs[i].id, kf2=kfs[j].id,
+                    scan1=(kfs[i].session, kfs[i].first_scan),
+                    scan2=(kfs[j].session, kfs[j].first_scan),
+                    R=np.asarray(edges.Rm[e]),
+                    t=np.asarray(edges.tm[e]),
+                    v6=np.asarray(edges.v6[e]),
+                )
+            )
+        # merged submap: base = first kf, all clouds re-expressed
+        base_R, base_p = R2[0], p2[0]
+        cloud = []
+        for i, k in enumerate(kfs):
+            pw = k.cloud[k.cloud_mask] @ R2[i].T + p2[i]
+            cloud.append((pw - base_p) @ base_R)
+        self.submaps.append(
+            dict(R0=base_R, p0=base_p,
+                 cloud=np.concatenate(cloud).astype(np.float32),
+                 first=kfs[0].id,
+                 scan=(kfs[0].session, kfs[0].first_scan))
+        )
+
+    def submap_level(self, keyframes: Optional[List] = None,
+                     max_submaps: int = 16,
                      submap_points: int = 32768) -> List[dict]:
         """Second hierarchy level: one BA over the submaps of the
         connected sessions -> gba_edges2 (thd_globalmapping finish
-        pass, voxelslam.cpp:2559-2581).  Returns submap-base edges."""
+        pass, voxelslam.cpp:2559-2581).  Returns submap-base edges.
+
+        `keyframes` (the loop manager's list) refreshes each submap's
+        base pose: bottom-up ran continuously, so PGO corrections may
+        have moved the base keyframe since the submap was built."""
         subs = self.submaps
         if len(subs) < 2:
             return []
+        if keyframes is not None:
+            for sm in subs:
+                k = keyframes[sm["first"]]
+                sm["R0"] = np.asarray(k.R0, np.float32)
+                sm["p0"] = np.asarray(k.p0, np.float32)
         if len(subs) > max_submaps:
             step = int(np.ceil(len(subs) / max_submaps))
             subs = subs[::step][:max_submaps]

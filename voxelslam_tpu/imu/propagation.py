@@ -196,6 +196,64 @@ def propagate(
     return x_out, poses
 
 
+def propagate_backward(
+    x_end: NavState,
+    imus: ImuBatch,
+    dt_ext: jnp.ndarray,
+    scale_gravity: jnp.ndarray,
+) -> ImuPoses:
+    """Integrate the state BACKWARD from the (refined) scan-end state
+    through the scan's IMU intervals — the reference's
+    `Initialization::motion_blur` semantics (voxelslam.cpp:488-561):
+    within-scan poses anchor exactly at the refined scan-end state and
+    velocity, so per-iteration re-deskews during dynamic initialization
+    use the best current estimate instead of forward propagation from
+    the previous (less-refined) scan.  Returns the interval-start pose
+    log consumed by `deskew`.
+
+    Exact inverse of `propagate`'s midpoint recurrence:
+        v_i = v_{i+1} − a_w·dt ;  p_i = p_{i+1} − v_i·dt − ½·a_w·dt² ;
+        R_i = R_{i+1}·Exp(−w·dt)   with a_w = R_i·a + g.
+    """
+    dtype = x_end.p.dtype
+    bg, ba, g = x_end.bg, x_end.ba, x_end.g
+
+    # undo the end extrapolation with the last valid interval's rates
+    # (dt_ext ≤ one IMU period, so using the scan-end R here is exact
+    # to O(ω·dt_ext²))
+    nvalid = jnp.sum(imus.valid.astype(jnp.int32))
+    last = jnp.clip(nvalid - 1, 0)
+    w_l = imus.gyr[last] - bg
+    R1 = x_end.R @ so3.exp(-w_l * dt_ext)
+    a_w_l = R1 @ (imus.acc[last] * scale_gravity - ba) + g
+    v1 = x_end.v - a_w_l * dt_ext
+    p1 = x_end.p - v1 * dt_ext - 0.5 * a_w_l * dt_ext * dt_ext
+
+    def step(carry, inp):
+        R_next, p_next, v_next = carry  # state at interval END
+        dt, gyr, acc, valid = inp
+        w = gyr - bg
+        R_i = R_next @ so3.exp(-w * dt)
+        a_w = R_i @ (acc * scale_gravity - ba) + g
+        v_i = v_next - a_w * dt
+        p_i = p_next - v_i * dt - 0.5 * a_w * dt * dt
+        keep = valid & (dt > 0)
+        R_i = jnp.where(keep, R_i, R_next)
+        p_i = jnp.where(keep, p_i, p_next)
+        v_i = jnp.where(keep, v_i, v_next)
+        rec = (R_i, p_i, v_i, w, a_w)  # state at interval START
+        return (R_i, p_i, v_i), rec
+
+    _, recs = jax.lax.scan(
+        step, (R1, p1, v1), (imus.dt, imus.gyr, imus.acc, imus.valid),
+        reverse=True,
+    )
+    return ImuPoses(
+        offt=imus.offt, R=recs[0], p=recs[1], v=recs[2], w=recs[3],
+        a=recs[4],
+    )
+
+
 def deskew(
     pts: jnp.ndarray,
     offsets: jnp.ndarray,

@@ -57,17 +57,25 @@ class LidarFactors(NamedTuple):
 
 
 def harvest(
-    vmap: VoxelMap, scratch: ScanScratch, params: MapParams, max_voxels: int
+    vmap: VoxelMap, scratch, params: MapParams, max_voxels: int,
+    col_perm: jnp.ndarray | None = None,
 ) -> LidarFactors:
     """Select BA plane voxels (reference tras_opt gates: leaf, plane,
-    live window points, λ0/λ1 ≤ 0.12) into a fixed-size factor set."""
+    live window points, λ0/λ1 ≤ 0.12) into a fixed-size factor set.
+
+    `scratch` is either a full ScanScratch (rebuild path) or just the
+    (C,) per-slot window point count (incremental path — only add_n is
+    consumed here).  `col_perm` (W,) maps logical window slot -> the
+    map's physical ring column ((col0 + w) % W) so the factor columns
+    come out in logical pose order regardless of the ring state."""
+    add_n = scratch.add_n if isinstance(scratch, ScanScratch) else scratch
     lam = vmap.eig
     ratio_ok = lam[:, 0] / jnp.maximum(lam[:, 1], 1e-12) <= 0.12
     cond = (
         (vmap.keys[:, 3] >= 0)
         & (vmap.state == 0)
         & vmap.plane_valid
-        & (scratch.add_n > 0)
+        & (add_n > 0)
         & ratio_ok
     )
     C = vmap.keys.shape[0]
@@ -84,11 +92,14 @@ def harvest(
         level
     ][:, None]
 
+    wP, wv, wn = vmap.win_P[s], vmap.win_v[s], vmap.win_n[s]
+    if col_perm is not None:
+        wP, wv, wn = wP[:, col_perm], wv[:, col_perm], wn[:, col_perm]
     return LidarFactors(
         valid=ok,
-        win_P=jnp.where(ok[:, None, None], vmap.win_P[s], 0.0),
-        win_v=jnp.where(ok[:, None, None], vmap.win_v[s], 0.0),
-        win_n=jnp.where(ok[:, None], vmap.win_n[s], 0.0),
+        win_P=jnp.where(ok[:, None, None], wP, 0.0),
+        win_v=jnp.where(ok[:, None, None], wv, 0.0),
+        win_n=jnp.where(ok[:, None], wn, 0.0),
         fix_P=jnp.where(ok[:, None], vmap.fix_P[s], 0.0),
         fix_v=jnp.where(ok[:, None], vmap.fix_v[s], 0.0),
         fix_n=jnp.where(ok, vmap.fix_n[s], 0.0),

@@ -51,6 +51,11 @@ class BtcParams(NamedTuple):
     proj_dis_max: float = 5.0
     summary_min_thre: int = 10
     line_filter_enable: bool = True
+    # keep a corner only if its column's 4 nearest-to-plane occupancy
+    # bins are hit — structure "touching" the projection plane
+    # (reference touch_filter_enable_, BTC.cpp:822-832; disabled in
+    # both reference presets)
+    touch_filter_enable: bool = False
     # corners / triangles
     useful_corner_num: int = 100
     nms_radius: float = 2.0
@@ -292,6 +297,9 @@ def _extract_binary_one(pts, mask, center, normal, plane_ok, p: BtcParams):
     by = top_i % G
     best_val = top_v
     keep = top_v > 0.0
+    if p.touch_filter_enable:
+        touch = jnp.any(occ[:, :4], axis=-1)  # (G*G,)
+        keep = keep & touch[jnp.clip(top_i, 0, G * G - 1)]
 
     # line filter (BTC.cpp:843-890): suppress cells that lie on a
     # ridge: for any of 4 directions, both neighbors comparably high.

@@ -46,17 +46,21 @@ def _key_equal(key_at: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def lookup(
-    keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray, max_probe: int
+    keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray,
+    max_probe: int, skip: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """Find slots for K queries. Returns (K,) int32 slot, -1 if absent.
 
-    coord: (K, 3) int32; level: (K,) int32.
+    coord: (K, 3) int32; level: (K,) int32.  Queries with `skip` set
+    start resolved (slot -1) and cost nothing: the probe loop exits as
+    soon as every pending query is done, so a mostly-skipped batch is
+    near-free (the early-exit that makes level-0-first assign pay).
     """
     C = keys.shape[0]
     q = jnp.concatenate([coord, level[:, None]], axis=-1)  # (K, 4)
     h0 = hashing.slot_of(coord, level, C)
     slot = jnp.full(h0.shape, -1, jnp.int32)
-    done = jnp.zeros(h0.shape, bool)
+    done = jnp.zeros(h0.shape, bool) if skip is None else skip
 
     def cond(carry):
         slot, done, r = carry
@@ -138,6 +142,7 @@ def insert(
 def insert_points(
     keys: jnp.ndarray, coord: jnp.ndarray, level: jnp.ndarray,
     valid: jnp.ndarray, max_probe: int, max_unique: int,
+    known_slot: jnp.ndarray | None = None,
 ):
     """Find-or-create for a large batch with FEW unique keys.
 
@@ -149,16 +154,23 @@ def insert_points(
     turns the dominant scatter traffic into one sort + small-batch
     insert + gathers.
 
+    `known_slot` (optional, from a prior `assign` pass) carries
+    already-resolved slots: only unresolved queries (< 0) enter the
+    dedupe/insert and the final lookup skips the rest, so in steady
+    state (few new voxels per scan) this path degenerates to the
+    handful of creations.
+
     Returns (keys', slot (K,), n_unique, overflow_count).
     """
     K = coord.shape[0]
+    pending = valid if known_slot is None else valid & (known_slot < 0)
     h = hashing.mix(coord, level)
-    h = jnp.where(valid, h, INT_MAX)
+    h = jnp.where(pending, h, INT_MAX)
     order = jnp.argsort(h)
     h_s = h[order]
     c_s = coord[order]
     l_s = level[order]
-    v_s = valid[order]
+    v_s = pending[order]
     first = jnp.concatenate(
         [
             jnp.ones((1,), bool),
@@ -173,7 +185,9 @@ def insert_points(
     keys, _, _, u_ovf = insert(
         keys, c_s[us], l_s[us], uok, max_probe
     )
-    slot = lookup(keys, coord, level, max_probe)
+    slot = lookup(keys, coord, level, max_probe, skip=~pending)
+    if known_slot is not None:
+        slot = jnp.where(pending, slot, known_slot)
     slot = jnp.where(valid, slot, -1)
     n_unique = jnp.sum(first)
     overflow = jnp.sum(u_ovf) + jnp.maximum(n_unique - max_unique, 0)

@@ -32,6 +32,7 @@ the reference's `pcr_fix`/`point_fix` capped at `max_points`
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -136,28 +137,40 @@ def assign(vmap: VoxelMap, pts_w: jnp.ndarray, valid: jnp.ndarray,
     """Route each world point to its target (coord, level).
 
     Walks the subdivision chain (the octree descent of
-    voxel_map.hpp:1021-1045 made breadth-wise): a point targets the
-    first level whose voxel is absent (to be created) or a leaf.
+    voxel_map.hpp:1021-1045) LEVEL-0-FIRST: every point probes level 0;
+    only points whose coarse voxel is subdivided descend to the next
+    level.  Deeper levels run with a skip mask, so when nothing is
+    subdivided (the common steady state) their probe loops exit after
+    zero rounds — ~3x fewer hash probes than the breadth-wise
+    all-levels lookup.  A point targets the first level that is absent
+    (to be created) or a leaf.
+
     Returns (coord (K,3), level (K,), slot (K,) of existing voxel or
     -1).
     """
     L = params.max_layer + 1
     coords = _coords_at_levels(pts_w, params)  # (K, L, 3)
     K = pts_w.shape[0]
-    flat = coords.reshape(K * L, 3)
-    levels = jnp.tile(jnp.arange(L, dtype=jnp.int32), (K,))
-    slots = hashmap.lookup(vmap.keys, flat, levels, params.max_probe)
-    slots = slots.reshape(K, L)
-    exists = slots >= 0
-    subdiv = jnp.where(exists, vmap.state[jnp.clip(slots, 0)] == 1, False)
-    # target level = first level that is (absent or leaf); a subdivided
-    # level passes through to the next.
+    go = valid
     lvl = jnp.zeros((K,), jnp.int32)
-    for l in range(L - 1):
-        go_deeper = subdiv[:, l] & (lvl == l)
-        lvl = jnp.where(go_deeper, l + 1, lvl)
-    coord = jnp.take_along_axis(coords, lvl[:, None, None], axis=1)[:, 0]
-    slot = jnp.take_along_axis(slots, lvl[:, None], axis=1)[:, 0]
+    slot = jnp.full((K,), -1, jnp.int32)
+    coord = coords[:, 0]
+    for l in range(L):
+        s = hashmap.lookup(
+            vmap.keys, coords[:, l],
+            jnp.full((K,), l, jnp.int32), params.max_probe, skip=~go,
+        )
+        deeper = (
+            go
+            & (s >= 0)
+            & (vmap.state[jnp.clip(s, 0)] == 1)
+            & (l < L - 1)
+        )
+        settle = go & ~deeper
+        lvl = jnp.where(settle, l, lvl)
+        slot = jnp.where(settle, s, slot)
+        coord = jnp.where(settle[:, None], coords[:, l], coord)
+        go = deeper
     return coord, lvl, slot
 
 
@@ -234,13 +247,13 @@ def scatter(
     flat_w = pts_w.reshape(K, 3)
     flat_valid = valid.reshape(K)
 
-    coord, lvl, _ = assign(vmap, flat_w, flat_valid, params)
+    coord, lvl, slot0 = assign(vmap, flat_w, flat_valid, params)
     # dedupe-first insert: ~40k queries touch only a few thousand
     # voxels, and gather-only lookups resolve the rest (hashmap
     # insert_points) — the TPU scatter hot spot of the naive path.
     keys, slot, n_unique, overflow = hashmap.insert_points(
         vmap.keys, coord, lvl, flat_valid, params.max_probe,
-        max_unique=min(K, 16384),
+        max_unique=min(K, 16384), known_slot=slot0,
     )
     ok = flat_valid & (slot >= 0)
     slot_safe = jnp.where(ok, slot, C)  # C = dropped by scatter mode
@@ -319,10 +332,10 @@ def push_scan(
     dtype = pts_body.dtype
 
     pts_w = pts_body @ R.T + p
-    coord, lvl, _ = assign(vmap, pts_w, valid, params)
+    coord, lvl, slot0 = assign(vmap, pts_w, valid, params)
     keys, slot, n_unique, overflow = hashmap.insert_points(
         vmap.keys, coord, lvl, valid, params.max_probe,
-        max_unique=min(N, 8192),
+        max_unique=min(N, 8192), known_slot=slot0,
     )
     ok = valid & (slot >= 0)
     slot_safe = jnp.where(ok, slot, C)
@@ -400,6 +413,7 @@ def marginalize_column(
     p: jnp.ndarray,  # (3,)
     col: jnp.ndarray,  # () int32 window column being marginalized
     params: MapParams,
+    size: int | None = None,
 ) -> VoxelMap:
     """Fold window column `col` into the fixed history IN PLACE —
     the reference's margi folds each voxel's own stored cluster
@@ -407,30 +421,42 @@ def marginalize_column(
     the voxel that held the window points, regardless of how much the
     BA moved the pose since push time.
 
-    Pure per-slot math: world-transform the resident body cluster by
-    the retiring pose and add where fix_n < max_points."""
+    Compacted: only slots holding points of the retiring scan can
+    change (≤ one scan's voxel count), so gather → transform →
+    scatter-add instead of a full-capacity transform pass."""
     C = params.capacity
     dtype = vmap.fix_P.dtype
+    A = params.max_active if size is None else size
+    cn_full = jnp.take_along_axis(
+        vmap.win_n, jnp.full((C, 1), col, jnp.int32), axis=1
+    )[:, 0]
+    (aidx,) = jnp.nonzero(cn_full > 0, size=A, fill_value=C)
+    aok = aidx < C
+    s_ = jnp.clip(aidx, 0, C - 1)
+
     sizes = jnp.asarray(
         [params.level_size(l) for l in range(params.max_layer + 1)], dtype
     )
-    lvl = jnp.clip(vmap.keys[:, 3], 0)
-    centers = (vmap.keys[:, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
-    cP = vmap.win_P[:, col]
-    cv = vmap.win_v[:, col]
-    cn = vmap.win_n[:, col]
-    t = p[None, :] - centers  # (C, 3)
+    lvl = jnp.clip(vmap.keys[s_, 3], 0)
+    centers = (vmap.keys[s_, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
+    cP = vmap.win_P[s_, col]
+    cv = vmap.win_v[s_, col]
+    cn = cn_full[s_]
+    t = p[None, :] - centers  # (A, 3)
     wld = cluster.transform(Cluster(cP, cv, cn), R[None], t)
-    gate = ((vmap.fix_n < params.max_points) & (cn > 0))[:, None]
-    fix_P = vmap.fix_P + jnp.where(gate, wld.P, 0.0)
-    fix_v = vmap.fix_v + jnp.where(gate, wld.v, 0.0)
-    fix_n = vmap.fix_n + jnp.where(gate[:, 0], cn, 0.0)
+    gate = aok & (vmap.fix_n[s_] < params.max_points) & (cn > 0)
+    dst = jnp.where(gate, aidx, C)
+    # compacted nonzero indices are unique and ascending; the gate
+    # only interleaves the drop sentinel, so no sorted/unique promises
+    fix_P = vmap.fix_P.at[dst].add(wld.P, mode="drop")
+    fix_v = vmap.fix_v.at[dst].add(wld.v, mode="drop")
+    fix_n = vmap.fix_n.at[dst].add(cn, mode="drop")
     return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n)
 
 
 def slide_window_cols(vmap: VoxelMap) -> VoxelMap:
     """Drop the oldest window column (shift left, zero the last) —
-    mirrors the window-array slide in the odometry pipeline."""
+    used by the full-rebuild paths where columns are in logical order."""
     def roll(a):
         return jnp.concatenate(
             [a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1
@@ -440,6 +466,28 @@ def slide_window_cols(vmap: VoxelMap) -> VoxelMap:
         win_P=roll(vmap.win_P),
         win_v=roll(vmap.win_v),
         win_n=roll(vmap.win_n),
+    )
+
+
+def clear_window_col(vmap: VoxelMap, col: jnp.ndarray) -> VoxelMap:
+    """Zero ONE window column — the ring-buffer slide of the steady
+    hot path (the reference's mp[] ring-index rotation,
+    voxelslam.cpp:1689-1693): instead of physically rolling the
+    (C, W, ·) cluster arrays every scan (~50 MB of HBM traffic), the
+    pipeline advances a column pointer and clears the vacated column."""
+    C, W = vmap.win_n.shape
+    return vmap._replace(
+        win_P=jax.lax.dynamic_update_slice(
+            vmap.win_P, jnp.zeros((C, 1, 6), vmap.win_P.dtype),
+            (0, col, 0),
+        ),
+        win_v=jax.lax.dynamic_update_slice(
+            vmap.win_v, jnp.zeros((C, 1, 3), vmap.win_v.dtype),
+            (0, col, 0),
+        ),
+        win_n=jax.lax.dynamic_update_slice(
+            vmap.win_n, jnp.zeros((C, 1), vmap.win_n.dtype), (0, col)
+        ),
     )
 
 
@@ -501,46 +549,23 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
     return u0, center, pvar, w[..., 2]
 
 
-def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams,
-          touch: jnp.ndarray | None = None, size: int | None = None):
-    """Per-slot plane refit + subdivision decision (reference recut +
+def _refit_at(vmap: VoxelMap, aidx: jnp.ndarray, aok: jnp.ndarray,
+              P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
+              params: MapParams):
+    """Plane refit + subdivision decision on a compacted slot subset
+    (the shared core of recut/recut_touched; reference recut +
     plane_update, voxel_map.hpp:1118-1194).
-
-    Only voxels the scan actually touched (window points present) can
-    change, so the eigendecomposition + plane-covariance math runs on
-    a compacted ≤ max_active subset and scatters back — the reference
-    iterates its `surf_map_slide` touched set for the same reason
-    (voxelslam.cpp:1398-1453).
 
     pcr_add = fixed + window moments; plane gate
     λ0 < min_eigen_value AND λ0/λ2 < thre[level]
     (plane_judge, voxel_map.hpp:1015-1019).  A failed leaf below
     max_layer flips to subdivided; its points re-route on the next
-    scatter pass.
-
-    `touch` (optional (C,) bool) restricts the refit to voxels a
-    specific scan touched — the incremental hot path passes the
-    pushed scan's slot set (marginalization conserves per-voxel
-    content, so untouched voxels' planes stay valid); full rebuilds
-    refit every resident voxel.  `size` overrides the compaction
-    bound (the touched set of one scan is ≤ its point count).
-    """
-    dtype = scratch.add_P.dtype
+    scatter pass."""
+    dtype = P.dtype
     C = vmap.keys.shape[0]
-    A = params.max_active if size is None else size
-    occupied = vmap.keys[:, 3] >= 0
-    leaf = occupied & (vmap.state == 0)
-    touched = leaf & (scratch.add_n > 0)
-    if touch is not None:
-        touched = touched & touch
-    (aidx,) = jnp.nonzero(touched, size=A, fill_value=C)
-    aok = aidx < C
+    A = aidx.shape[0]
     s_ = jnp.clip(aidx, 0, C - 1)
-
     level = jnp.clip(vmap.keys[s_, 3], 0)
-    P = vmap.fix_P[s_] + scratch.add_P[s_]
-    v = vmap.fix_v[s_] + scratch.add_v[s_]
-    n = vmap.fix_n[s_] + scratch.add_n[s_]
     cov9 = vmap.cov_add[s_]
 
     c = Cluster(P, v, n)
@@ -584,6 +609,67 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams,
     return vmap, jnp.sum(subdivide)
 
 
+def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams,
+          touch: jnp.ndarray | None = None, size: int | None = None):
+    """Per-slot plane refit over precomputed full-capacity window sums
+    (full-rebuild path).
+
+    Only voxels with live window points can change, so the math runs
+    on a compacted ≤ max_active subset and scatters back — the
+    reference iterates its `surf_map_slide` touched set for the same
+    reason (voxelslam.cpp:1398-1453).  `touch` optionally restricts
+    further; `size` overrides the compaction bound."""
+    C = vmap.keys.shape[0]
+    A = params.max_active if size is None else size
+    occupied = vmap.keys[:, 3] >= 0
+    leaf = occupied & (vmap.state == 0)
+    touched = leaf & (scratch.add_n > 0)
+    if touch is not None:
+        touched = touched & touch
+    (aidx,) = jnp.nonzero(touched, size=A, fill_value=C)
+    aok = aidx < C
+    s_ = jnp.clip(aidx, 0, C - 1)
+    P = vmap.fix_P[s_] + scratch.add_P[s_]
+    v = vmap.fix_v[s_] + scratch.add_v[s_]
+    n = vmap.fix_n[s_] + scratch.add_n[s_]
+    return _refit_at(vmap, aidx, aok, P, v, n, params)
+
+
+def recut_touched(vmap: VoxelMap, R: jnp.ndarray, p: jnp.ndarray,
+                  touch: jnp.ndarray, params: MapParams, size: int):
+    """Incremental-path recut: compute the world window sums ONLY on
+    the compacted touched set instead of materializing a full-capacity
+    ScanScratch — the (C, W) cluster-transform pass was the most
+    HBM-expensive stage of the steady step at production shapes.
+
+    Returns (vmap', n_subdiv, add_n) where add_n (C,) is the cheap
+    per-slot window point count (win_n row sum) for factor harvest."""
+    C = vmap.keys.shape[0]
+    dtype = vmap.win_P.dtype
+    add_n = jnp.sum(vmap.win_n, axis=1)
+    occupied = vmap.keys[:, 3] >= 0
+    leaf = occupied & (vmap.state == 0)
+    touched = leaf & (add_n > 0) & touch
+    (aidx,) = jnp.nonzero(touched, size=size, fill_value=C)
+    aok = aidx < C
+    s_ = jnp.clip(aidx, 0, C - 1)
+
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    lvl = jnp.clip(vmap.keys[s_, 3], 0)
+    centers = (vmap.keys[s_, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
+    t = p[None, :, :] - centers[:, None, :]  # (A, W, 3)
+    win = Cluster(vmap.win_P[s_], vmap.win_v[s_], vmap.win_n[s_])
+    wld = cluster.transform(win, R[None], t)  # (A, W, ...)
+    has = (vmap.win_n[s_] > 0)[..., None]
+    P = vmap.fix_P[s_] + jnp.sum(jnp.where(has, wld.P, 0.0), axis=1)
+    v = vmap.fix_v[s_] + jnp.sum(jnp.where(has, wld.v, 0.0), axis=1)
+    n = vmap.fix_n[s_] + add_n[s_]
+    vmap, n_subdiv = _refit_at(vmap, aidx, aok, P, v, n, params)
+    return vmap, n_subdiv, add_n
+
+
 # ------------------------------------------------------------------ match
 
 class MatchResult(NamedTuple):
@@ -592,6 +678,10 @@ class MatchResult(NamedTuple):
     dist: jnp.ndarray  # (K,) signed point-to-plane distance
     sigma: jnp.ndarray  # (K,) plane+point variance along the normal
     slot: jnp.ndarray  # (K,) matched slot (for diagnostics)
+    center: jnp.ndarray  # (K, 3) matched plane center in WORLD frame —
+    #   lets the ESIKF re-evaluate the residual under an updated pose
+    #   without re-running the map association (the reference's cached
+    #   OctoTree* fast path, voxelslam.cpp:892-899)
 
 
 def match(
@@ -633,7 +723,9 @@ def match(
     gate = jnp.abs(d) < 3.0 * jnp.sqrt(sigma)
 
     ok = pl_ok & range_ok & gate
-    return MatchResult(ok, nrm, d, sigma, jnp.where(ok, slot, -1))
+    return MatchResult(
+        ok, nrm, d, sigma, jnp.where(ok, slot, -1), vox_center + ctr
+    )
 
 
 # ------------------------------------------------------------------ margi
@@ -660,12 +752,12 @@ def marginalize(
     C = params.capacity
     dtype = pts_body.dtype
     pts_w = jnp.einsum("ij,nj->ni", R, pts_body) + p
-    coord, lvl, _ = assign(vmap, pts_w, valid, params)
+    coord, lvl, slot0 = assign(vmap, pts_w, valid, params)
     # find-or-create: fixed history may target voxels that do not
     # exist yet (keyframe reload, post-loop map rebuild)
     keys, slot, _, _ = hashmap.insert_points(
         vmap.keys, coord, lvl, valid, params.max_probe,
-        max_unique=min(pts_w.shape[0], 16384),
+        max_unique=min(pts_w.shape[0], 16384), known_slot=slot0,
     )
     vmap = vmap._replace(keys=keys)
     ok = valid & (slot >= 0)
@@ -700,15 +792,27 @@ def marginalize(
 
 # ------------------------------------------------------------------ evict
 
-def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams) -> VoxelMap:
+def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
+          evict_dist: jnp.ndarray | None = None) -> VoxelMap:
     """Distance-based eviction + table compaction (reference idle-time
     release, voxelslam.cpp:1503-1527): drop voxels whose last touch is
     more than evict_dist of travel behind, rebuilding the table so
     probe chains stay short.  Call occasionally from the host loop.
+
+    `evict_dist` (traced) overrides the configured distance — the
+    host's pressure valve shrinks it when the table overflows or the
+    load factor climbs (the reference's counterpart is the pool trim,
+    voxelslam.cpp:1528-1536).  Voxels with live window points are
+    never dropped (they carry un-marginalized scan moments).
     """
     C = params.capacity
+    if evict_dist is None:
+        evict_dist = jnp.asarray(params.evict_dist, vmap.jour.dtype)
     occupied = vmap.keys[:, 3] >= 0
-    keep = occupied & (jour_now - vmap.jour < params.evict_dist)
+    keep = occupied & (
+        (jour_now - vmap.jour < evict_dist)
+        | (jnp.sum(vmap.win_n, axis=1) > 0)
+    )
 
     fresh = hashmap.empty_keys(C)
     coords = vmap.keys[:, :3]
@@ -741,3 +845,14 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams) -> VoxelMap:
         last_num=move(vmap.last_num),
         jour=move(vmap.jour),
     )
+
+
+# compiled entry points for the host loop (eager ops on the axon TPU
+# are slow — keep host-dispatched map maintenance in jitted programs)
+evict_compiled = partial(jax.jit, static_argnames=("params",))(evict)
+
+
+@jax.jit
+def load_factor(keys: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy fraction of the hash table (hashmap.stats, jitted)."""
+    return jnp.sum(keys[:, 3] != hashmap.EMPTY_LEVEL) / keys.shape[0]

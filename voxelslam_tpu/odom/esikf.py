@@ -49,12 +49,21 @@ def update(
     num_iter: int = 4,
     meas_floor: float = 0.0005,
     degen_thresh: float = 14.0,
+    num_match: int = 2,
 ) -> EsikfResult:
+    """`num_iter` Kalman iterations grouped into `num_match` rounds:
+    each round runs ONE full map association (the expensive multi-level
+    hash probe) and num_iter/num_match Kalman steps against the frozen
+    association (plane normal + world center + sigma) — the
+    reference's ≤4-iteration / ≤2-rematch schedule with its cached
+    per-point OctoTree* fast path (voxelslam.cpp:892-899)."""
     dtype = pts_b.dtype
     cov_inv = jnp.linalg.inv(x_prop.cov)
     ph = so3.hat(pts_b)  # (N, 3, 3)
+    n_rounds = max(min(num_match, num_iter), 1)
+    iters_per = max(num_iter // n_rounds, 1)
 
-    def accumulate(x):
+    def associate(x):
         rot_var = x.cov[0:3, 0:3]
         tsl_var = x.cov[3:6, 3:6]
         var_world = (
@@ -65,13 +74,18 @@ def update(
         wld = pts_b @ x.R.T + x.p
         m = voxelmap.match(vmap, wld, var_world, mask, params)
         r_inv = jnp.where(m.valid, 1.0 / (meas_floor + m.sigma), 0.0)
+        return m, r_inv
+
+    def accumulate(x, m, r_inv):
+        # residual under the CURRENT pose against the frozen plane
+        wld = pts_b @ x.R.T + x.p
+        d = jnp.sum(m.normal * (wld - m.center), axis=-1)
         # jac wrt [dθ, dp]: [phat Rᵀ n ; n]
         jrot = jnp.einsum("nij,jk,nk->ni", ph, x.R.T, m.normal)
         jac = jnp.concatenate([jrot, m.normal], axis=-1)  # (N, 6)
         HTH = jnp.einsum("n,ni,nj->ij", r_inv, jac, jac)
-        HTz = -jnp.einsum("n,ni,n->i", r_inv, jac, m.dist)
-        nnt = jnp.einsum("n,ni,nj->ij", m.valid.astype(dtype), m.normal, m.normal)
-        return HTH, HTz, nnt, jnp.sum(m.valid)
+        HTz = -jnp.einsum("n,ni,n->i", r_inv, jac, d)
+        return HTH, HTz
 
     def kalman_delta(x, HTH, HTz):
         H_full = jnp.zeros((DIM, DIM), dtype).at[0:6, 0:6].set(HTH)
@@ -81,12 +95,21 @@ def update(
         sol = K1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
         return sol, G6
 
-    def body(_, carry):
-        x, _, _, _ = carry
-        HTH, HTz, nnt, cnt = accumulate(x)
-        sol, G6 = kalman_delta(x, HTH, HTz)
-        x = state.boxplus(x, sol)
-        return x, G6, nnt, cnt
+    def round_body(_, carry):
+        x, G6, _, _ = carry
+        m, r_inv = associate(x)
+
+        def kal_body(_, inner):
+            x, _ = inner
+            HTH, HTz = accumulate(x, m, r_inv)
+            sol, G6 = kalman_delta(x, HTH, HTz)
+            return state.boxplus(x, sol), G6
+
+        x, G6 = jax.lax.fori_loop(0, iters_per, kal_body, (x, G6))
+        nnt = jnp.einsum(
+            "n,ni,nj->ij", m.valid.astype(dtype), m.normal, m.normal
+        )
+        return x, G6, nnt, jnp.sum(m.valid)
 
     init = (
         x_prop,
@@ -94,7 +117,7 @@ def update(
         jnp.zeros((3, 3), dtype),
         jnp.zeros((), jnp.int32),
     )
-    x, G6, nnt, cnt = jax.lax.fori_loop(0, num_iter, body, init)
+    x, G6, nnt, cnt = jax.lax.fori_loop(0, n_rounds, round_body, init)
 
     # posterior covariance (I − G) P with G embedded (voxelslam.cpp:943)
     G = jnp.zeros((DIM, DIM), dtype).at[:, 0:6].set(G6)

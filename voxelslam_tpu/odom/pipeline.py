@@ -54,6 +54,8 @@ class PipelineParams(NamedTuple):
     imu_coef: float = 1e-4
     scatter_passes: int = 2
     num_esikf_iter: int = 4
+    num_esikf_match: int = 2  # map-association rounds within the ESIKF
+    #   (≤2 rematches like the reference, voxelslam.cpp:892-899)
     degen_thresh: float = 14.0
     ba_max_iter: int = 3
     # steady-state subdivision-rebuild deferral: rebuild when pending
@@ -82,6 +84,12 @@ class Carry(NamedTuple):
     #   stashed for the dynamic-init re-deskew loop (the reference
     #   keeps time-sorted raw scans for the same purpose,
     #   voxelslam.cpp:1263-1276)
+    col0: jnp.ndarray  # () int32 physical map-window column of the
+    #   OLDEST window slot: the per-voxel cluster columns of the map
+    #   are a ring buffer (the reference's mp[] ring indices,
+    #   voxelslam.cpp:1689-1693) — logical slot w lives in physical
+    #   column (col0 + w) % W.  Full-rebuild paths write columns in
+    #   logical order and reset col0 = 0.
 
 
 class ScanInputs(NamedTuple):
@@ -131,6 +139,7 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         jour=jnp.zeros((), dtype),
         last_pos=jnp.zeros((3,), dtype),
         init_flat=jnp.zeros((W, flat_len(pp)), dtype),
+        col0=jnp.zeros((), jnp.int32),
     )
 
 
@@ -166,6 +175,7 @@ def _front_end(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     res = esikf.update(
         x_prior, carry.vmap, pts_b, var_b, ds.mask, pp.map_params,
         num_iter=pp.num_esikf_iter, degen_thresh=pp.degen_thresh,
+        num_match=pp.num_esikf_match,
     )
     x_post = res.x
 
@@ -216,7 +226,7 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
     return vmap, scratch, overflow
 
 
-def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
+def _push_recut(vmap: VoxelMap, win: WindowState, col0, jour,
                 pp: PipelineParams):
     """Steady-state map update: incremental push of ONE scan + plane
     refit of only the pushed scan's voxels (marginalization conserves
@@ -233,29 +243,35 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col, jour,
     voxel contributes no planes/factors until rebuilt, so batching a
     trickle of subdivisions over a few scans is a bounded, tiny
     factor loss."""
-    pts = win.pts[col]
-    var = win.var[col]
-    mask = win.mask[col]
-    R = win.xs.R[col]
-    p = win.xs.p[col]
+    W = pp.win_size
+    wl = W - 1  # logical slot of the fresh scan
+    col = (col0 + wl) % W  # its physical ring column
+    pts = win.pts[wl]
+    var = win.var[wl]
+    mask = win.mask[wl]
+    R = win.xs.R[wl]
+    p = win.xs.p[wl]
     vmap, overflow, touched = voxelmap.push_scan(
-        vmap, pts, var, R, p, mask, jnp.int32(col), jour, pp.map_params
+        vmap, pts, var, R, p, mask, col, jour, pp.map_params
     )
-    scratch = voxelmap.window_sums(vmap, win.xs.R, win.xs.p, pp.map_params)
-    vmap, n_subdiv = voxelmap.recut(
-        vmap, scratch, pp.map_params, touch=touched,
+    # poses permuted to PHYSICAL column order: physical column c holds
+    # logical slot (c - col0) % W
+    perm = (jnp.arange(W, dtype=jnp.int32) - col0) % W
+    vmap, n_subdiv, add_n = voxelmap.recut_touched(
+        vmap, win.xs.R[perm], win.xs.p[perm], touched, pp.map_params,
         size=min(pp.n_ds, pp.map_params.max_active),
     )
-    return vmap, scratch, overflow, n_subdiv
+    return vmap, add_n, overflow, n_subdiv
 
 
 @partial(jax.jit, static_argnames=("pp",))
 def rebuild_map(carry: Carry, pp: PipelineParams) -> Carry:
     """Full window rebuild + plane refit as its own (host-dispatched)
     device program — the subdivision re-route path, kept out of the
-    per-scan hot program (see _push_recut)."""
+    per-scan hot program (see _push_recut).  Rebuilds write the map's
+    window columns in logical order, so the ring pointer resets."""
     vmap, _, _ = _scatter_recut(carry.vmap, carry.win, carry.jour, pp)
-    return carry._replace(vmap=vmap)
+    return carry._replace(vmap=vmap, col0=jnp.zeros((), jnp.int32))
 
 
 def _push_window(win: WindowState, idx, pts_b, var_w, mask, x_post, preint):
@@ -335,12 +351,15 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    vmap, scratch, ovf, n_sub = _push_recut(
-        carry.vmap, win, W - 1, carry.jour, pp
+    vmap, add_n, ovf, n_sub = _push_recut(
+        carry.vmap, win, carry.col0, carry.jour, pp
     )
 
     # ---- local BA over the window ----
-    factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
+    perm_l2p = (carry.col0 + jnp.arange(W, dtype=jnp.int32)) % W
+    factors = lf.harvest(
+        vmap, add_n, pp.map_params, pp.max_ba_voxels, col_perm=perm_l2p
+    )
     ba = opt.li_ba(
         win.xs, factors, win.pres, imu_coef=pp.imu_coef,
         max_iter=pp.ba_max_iter, with_gravity=with_gravity,
@@ -355,15 +374,17 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     scan_mask0 = win.mask[0]
 
     # ---- marginalize oldest scan into fixed history ----
-    # fold the RESIDENT column-0 clusters (their Bf_var entered
+    # fold the RESIDENT oldest-column clusters (their Bf_var entered
     # cov_add at push time), exactly the reference's per-voxel margi
     vmap = voxelmap.marginalize_column(
-        vmap, x0.R, x0.p, jnp.int32(0), pp.map_params
+        vmap, x0.R, x0.p, carry.col0, pp.map_params,
+        size=min(pp.n_ds, pp.map_params.max_active),
     )
 
-    # ---- slide (window arrays + resident map columns) ----
+    # ---- slide (window arrays roll; map columns advance the ring) ----
     win = _slide_window(win)
-    vmap = voxelmap.slide_window_cols(vmap)
+    vmap = voxelmap.clear_window_col(vmap, carry.col0)
+    col0 = (carry.col0 + 1) % W
 
     # x_curr adopts the BA-refined latest pose (voxelslam.cpp:1663-1664)
     x_last = state.index(win.xs, W - 2)  # last valid after slide
@@ -377,6 +398,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
     carry = carry._replace(
         x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
+        col0=col0,
     )
     out = StepOutputs(
         x=x_new, degenerate=res.degenerate, match_count=res.match_count,
@@ -393,9 +415,11 @@ def _redeskew_window(win: WindowState, init_flat, pp: PipelineParams,
                      imu_noise, ext_R, ext_t, scale_gravity):
     """Re-deskew every stashed raw fill scan from the REFINED window
     states and biases (Initialization::motion_blur,
-    voxelslam.cpp:488-561): within-scan motion comes from forward IMU
-    integration off the previous refined state, rigidly re-anchored so
-    the scan end lands exactly on the refined pose; the window point/
+    voxelslam.cpp:488-561): within-scan poses are integrated BACKWARD
+    from the refined scan-end state — anchored at the best current
+    estimate of pose, velocity AND biases, exactly the reference's
+    backward-from-scan-end pass (critical on violent starts, where the
+    previous scan's state is a poor forward anchor); the window point/
     variance buffers and preintegration factors are rebuilt."""
     W = pp.win_size
 
@@ -405,19 +429,8 @@ def _redeskew_window(win: WindowState, init_flat, pp: PipelineParams,
             lambda a: a[jnp.maximum(w - 1, 0)], win.xs
         )
         x_w = jax.tree.map(lambda a: a[w], win.xs)
-        x_prop, poses = prop.propagate(
-            x_prev, inp.imu, imu_noise, inp.dt_ext, scale_gravity,
-            inp.t_end,
-        )
-        # rigid re-anchor: integrated trajectory shifted so its end
-        # coincides with the refined pose x_w
-        R_c = x_w.R @ x_prop.R.T
-        t_c = x_w.p - R_c @ x_prop.p
-        poses = poses._replace(
-            R=jnp.einsum("ij,mjk->mik", R_c, poses.R),
-            p=jnp.einsum("ij,mj->mi", R_c, poses.p) + t_c,
-            v=jnp.einsum("ij,mj->mi", R_c, poses.v),
-            a=jnp.einsum("ij,mj->mi", R_c, poses.a),
+        poses = prop.propagate_backward(
+            x_w, inp.imu, inp.dt_ext, scale_gravity
         )
         desk = prop.deskew(inp.pts, inp.offsets, inp.mask, poses, x_w,
                            ext_R, ext_t)
@@ -603,9 +616,11 @@ def apply_loop_correction(
     # refit planes over fixed-only voxels
     vmap = _recut_fixed(vmap, None, pp)
 
-    # rescatter the corrected window
+    # rescatter the corrected window (logical column order)
     vmap, scratch, _ = _scatter_recut(vmap, win, carry.jour, pp)
-    return carry._replace(x=x, vmap=vmap, win=win)
+    return carry._replace(
+        x=x, vmap=vmap, win=win, col0=jnp.zeros((), jnp.int32)
+    )
 
 
 def _recut_fixed(vmap: VoxelMap, scratch, pp: PipelineParams) -> VoxelMap:

@@ -72,6 +72,7 @@ def carry_shardings(mesh: Mesh):
             jour=rep,
             last_pos=rep,
             init_flat=rep,
+            col0=rep,
         )
 
     return build
@@ -171,3 +172,65 @@ def dryrun(n_devices: int, check_vs_single: bool = True) -> None:
         np.asarray(new_carry.win.xs.p), np.asarray(new_carry_1.win.xs.p),
         atol=1e-5, rtol=1e-5,
     )
+
+    # second reduction: BA Hessian assembly sharded over VOXELS
+    from ..lba import lidar_factor as lf
+
+    add_n = jnp.sum(new_carry_1.vmap.win_n, axis=1)
+    factors = lf.harvest(
+        new_carry_1.vmap, add_n, pp.map_params, pp.max_ba_voxels
+    )
+    R = new_carry_1.win.xs.R
+    pw = new_carry_1.win.xs.p
+    _, cache = lf.evaluate_residual(factors, R, pw)
+    r1, g1, h1 = lf.evaluate_hess(factors, cache, R, pw)
+    r8, g8, h8 = sharded_lidar_hessian(factors, R, pw, mesh)
+    np.testing.assert_allclose(float(r8), float(r1), rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(h8), np.asarray(h1), rtol=1e-3, atol=1e-4
+    )
+
+
+def sharded_lidar_hessian(factors, R, p, mesh: Mesh):
+    """BA Hessian assembly sharded over VOXELS: each device evaluates
+    the eigen-factor gradient/Hessian of its factor shard and the
+    (W·6)² Hessian reduces with a psum over ICI — the SPMD form of the
+    reference's fork-join Hessian pools (voxel_map.hpp:306-335,
+    465-523), and the declared scale-out design of this module's
+    docstring.
+
+    factors: lba.lidar_factor.LidarFactors with leading dim V divisible
+    by the mesh size; R (W,3,3), p (W,3) replicated.
+    Returns (resid, grad (W,6), hess (W,W,6,6)) equal to the
+    single-device evaluation.
+    """
+    from ..lba import lidar_factor as lf
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    fact_specs = jax.tree.map(lambda _: P("data"), factors)
+    # distribute operands onto the mesh (callers typically hold them
+    # on one device)
+    factors = jax.device_put(
+        factors, jax.tree.map(lambda s: NamedSharding(mesh, s), fact_specs)
+    )
+    R = jax.device_put(R, NamedSharding(mesh, P()))
+    p = jax.device_put(p, NamedSharding(mesh, P()))
+
+    def local(fact, R, p):
+        _, cache = lf.evaluate_residual(fact, R, p)
+        resid, grad, hess = lf.evaluate_hess(fact, cache, R, p)
+        return (
+            jax.lax.psum(resid, "data"),
+            jax.lax.psum(grad, "data"),
+            jax.lax.psum(hess, "data"),
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(fact_specs, P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return fn(factors, R, p)

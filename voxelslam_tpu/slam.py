@@ -113,6 +113,8 @@ class SlamFrontend:
         self._batch_buf = []  # flats awaiting a full device batch
         self._subdiv_pending = 0  # subdivisions awaiting window rebuild
         self._since_rebuild = 0
+        self._pressure = False  # hash overflow seen -> compact
+        self._scans_since_load_check = 0
 
     # ------------------------------------------------------------- inputs
 
@@ -184,6 +186,14 @@ class SlamFrontend:
             # map inside the hot step costs ~80 ms/step even untaken)
             self._subdiv_pending += int(getattr(out, "n_subdiv", 0))
             self._since_rebuild += 1
+            # hash-pressure accounting: dropped insertions mean the
+            # table is saturating — trigger the compaction valve
+            # (reference pressure valve: distance eviction + pool trim,
+            # voxelslam.cpp:1503-1536)
+            ovf = int(out.overflow)
+            if ovf > 0:
+                self.telemetry.count("hash_overflow", ovf)
+                self._pressure = True
             if bool(out.degenerate):
                 self.telemetry.count("degenerate_scans")
                 self.degrade_cnt += 1
@@ -344,16 +354,46 @@ class SlamFrontend:
         jour_now = float(self.carry.jour)
         if jour_now - self._evict_jour > self.pp.map_params.evict_dist / 8.0:
             self._evict_jour = jour_now
-            from .map import voxelmap as _vm
-            with self.telemetry.stage("evict"):
-                self.carry = self.carry._replace(
-                    vmap=_vm.evict(
-                        self.carry.vmap, jnp.asarray(jour_now, self.dtype),
-                        self.pp.map_params,
-                    )
-                )
-            self.telemetry.count("evictions")
+            self._evict(jour_now, self.pp.map_params.evict_dist)
+        self._maybe_compact(jour_now)
         return rec_prev
+
+    def _evict(self, jour_now: float, dist: float):
+        from .map import voxelmap as _vm
+        with self.telemetry.stage("evict"):
+            self.carry = self.carry._replace(
+                vmap=_vm.evict_compiled(
+                    self.carry.vmap, jnp.asarray(jour_now, self.dtype),
+                    self.pp.map_params, jnp.asarray(dist, self.dtype),
+                )
+            )
+        self.telemetry.count("evictions")
+
+    def _maybe_compact(self, jour_now: float):
+        """Pressure valve: when insertions overflowed the probe bound
+        or the table load factor climbs past 0.7, evict with a
+        progressively shorter distance horizon until load relaxes —
+        graceful degradation instead of silently dropped voxels
+        (reference: voxelslam.cpp:1503-1536)."""
+        from .map import voxelmap as _vm
+
+        self._scans_since_load_check += 1
+        if not self._pressure and self._scans_since_load_check < 64:
+            return
+        self._scans_since_load_check = 0
+        load = float(_vm.load_factor(self.carry.vmap.keys))
+        if not self._pressure and load <= 0.7:
+            return
+        dist = self.pp.map_params.evict_dist
+        floor = self.pp.map_params.voxel_size * 8.0
+        for _ in range(6):
+            self._evict(jour_now, dist)
+            load = float(_vm.load_factor(self.carry.vmap.keys))
+            if load < 0.6 or dist <= floor:
+                break
+            dist *= 0.5
+        self.telemetry.count("pressure_compactions")
+        self._pressure = False
 
     def insert_keyframe_fixed(self, cloud, mask, R0, p0):
         """Mid-term association: fold one historical keyframe back
@@ -547,6 +587,13 @@ class VoxelSLAM:
                 if self.loop.g_update_pending:
                     self.frontend.g_update = True
                     self.loop.g_update_pending = False
+        # continuous bottom-up global mapping: at most one keyframe
+        # window per drain (the reference's thd_globalmapping runs
+        # throughout the session, voxelslam.cpp:2485-2595, so finish
+        # only drains leftovers)
+        with self.frontend.telemetry.stage("gba_window"):
+            if self.gmap.bottom_up_incremental(self.loop.keyframes):
+                self.frontend.telemetry.count("gba_windows")
 
     def run_synthetic(self, data):
         recs = []
@@ -574,9 +621,12 @@ class VoxelSLAM:
 
         kfs = self.loop.keyframes
         if len(kfs) >= 2:
-            self.gmap.bottom_up_all(kfs)
-            # second hierarchy level over submaps (gba_edges2)
-            edges2 = self.gmap.submap_level()
+            # bottom-up ran continuously during the session; finish
+            # only drains the leftover windows (O(1) in trajectory)
+            self.gmap.bottom_up_drain(kfs)
+            # second hierarchy level over submaps (gba_edges2), base
+            # poses refreshed in case PGO moved keyframes since
+            edges2 = self.gmap.submap_level(keyframes=kfs)
             self.gmap.edges.extend(edges2)
             if self.gmap.edges:
                 # top-down: sequential + loop + hessian edges
