@@ -39,7 +39,12 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    # production-ish shapes: dense scan (28.8k rays), 10-scan window
+    # production-ish shapes: dense scan (28.8k rays), 10-scan window.
+    # Padded sizes right-sized by scripts/shape_sweep.py (everything
+    # is bandwidth-bound, so padding waste is ~linear in time):
+    # ds 2048 / V 2048 / C 2^16 keeps ATE while nearly doubling rate;
+    # larger worlds bump hash_capacity in their YAML (pressure valve
+    # + eviction cover the spill).
     cfg = Config(
         general=GeneralCfg(imu_topic="/synthetic/imu"),
         odometry=OdometryCfg(
@@ -49,10 +54,10 @@ def main():
         local_ba=LocalBACfg(win_size=10, max_iter=2),
         shapes=Shapes(
             max_raw_points=32768,
-            max_points=4096,
+            max_points=2048,
             max_imu=64,
-            hash_capacity=1 << 17,
-            max_ba_voxels=4096,
+            hash_capacity=1 << 16,
+            max_ba_voxels=2048,
             scan_batch=16,
         ),
     )

@@ -273,6 +273,46 @@ class TestIncrementalPush:
             np.testing.assert_allclose(a[k][1], b[k][1], atol=1e-4)
             np.testing.assert_allclose(a[k][0], b[k][0], atol=2e-3)
 
+    def test_ring_lap_overwrites_stale_column(self):
+        """clear_window_col only invalidates win_n; a later push into
+        the same ring column must fully overwrite the stale cluster
+        rows (and consumers must see exactly the new scan)."""
+        W = 2
+        pts, var, Rs, ps, valid = self._window(W)
+        vm = voxelmap.empty(PARAMS, W)
+        vm, _, _ = voxelmap.push_scan(
+            vm, pts[0], var[0], Rs[0], ps[0], valid[0],
+            jnp.int32(0), jnp.float32(0), PARAMS,
+        )
+        vm = voxelmap.clear_window_col(vm, jnp.int32(0))
+        assert float(jnp.sum(vm.win_n[:, 0])) == 0.0
+        # ring lap: scan 1 lands in the SAME column
+        vm, _, _ = voxelmap.push_scan(
+            vm, pts[1], var[1], Rs[1], ps[1], valid[1],
+            jnp.int32(0), jnp.float32(0), PARAMS,
+        )
+        scr = voxelmap.window_sums(
+            vm, Rs[1:2].repeat(W, 0), ps[1:2].repeat(W, 0), PARAMS
+        )
+        # reference: fresh map with only scan 1
+        vm_r = voxelmap.empty(PARAMS, W)
+        vm_r, _, _ = voxelmap.push_scan(
+            vm_r, pts[1], var[1], Rs[1], ps[1], valid[1],
+            jnp.int32(0), jnp.float32(0), PARAMS,
+        )
+        scr_r = voxelmap.window_sums(
+            vm_r, Rs[1:2].repeat(W, 0), ps[1:2].repeat(W, 0), PARAMS
+        )
+        a = self._by_key(vm, scr)
+        b = self._by_key(vm_r, scr_r)
+        # every ref voxel matches exactly; extra (scan-0) voxels empty
+        for k, vb in b.items():
+            np.testing.assert_allclose(a[k][2], vb[2])
+            np.testing.assert_allclose(a[k][1], vb[1], atol=1e-4)
+            np.testing.assert_allclose(a[k][0], vb[0], atol=2e-3)
+        for k in set(a) - set(b):
+            assert a[k][2] == 0.0
+
     def test_marginalize_column_conserves_content(self):
         W = 4
         pts, var, Rs, ps, valid = self._window(W)

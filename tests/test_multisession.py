@@ -79,6 +79,50 @@ def test_cross_session_merge():
     assert e.s1 == 0 and e.s2 == 1
 
 
+@pytest.mark.slow
+def test_loop_recall_multi_revisit():
+    """Loop recall over repeated revisits of the same place: the
+    top-k candidate verification (reference ICP-verifies every
+    candidate above threshold, voxelslam.cpp:1987-1999) must keep
+    recall high — argmax-only search drops near-miss top scores."""
+    rng = np.random.default_rng(17)
+    p = btc.BtcParams(line_filter_enable=False, n_proj=4,
+                      max_triangles=2048, voxel_init_num=5)
+    sp = database.SearchParams(skip_near_num=2, max_pairs_per_query=16,
+                               max_cand_pairs=128)
+    mgr = manager.LoopManager(
+        p, sp, win_size=3, kf_downsample=0.15,
+        min_kf_rot_deg=0.0, min_kf_trans=0.05,
+        db_capacity=1 << 15, kf_capacity=128,
+        icp_eigval=3.0,
+        curr_halt=10**6,  # count detections; avoid PGO churn
+    )
+
+    line = [(0.4 * i, 0.0, 0.0) for i in range(6)]
+    # pass 0 establishes the database
+    for s in _fake_scan_poses(rng, line):
+        mgr.push_scan_pose(s)
+    kf0 = len(mgr.keyframes)
+    assert kf0 >= 2
+
+    # 3 revisits with small pose perturbations (same session)
+    found_before = mgr.n_loops_found
+    revisit_kfs = 0
+    for rev in range(3):
+        jit = rng.normal(size=3) * 0.05
+        offs = [(x + jit[0], y + jit[1], z + jit[2]) for x, y, z in line]
+        n_kf0 = len(mgr.keyframes)
+        for s in _fake_scan_poses(rng, offs):
+            mgr.push_scan_pose(s)
+        revisit_kfs += len(mgr.keyframes) - n_kf0
+    detections = mgr.n_loops_found - found_before
+    recall = detections / max(revisit_kfs, 1)
+    assert revisit_kfs >= 3
+    assert recall >= 0.5, (
+        f"loop recall {recall:.2f} ({detections}/{revisit_kfs})"
+    )
+
+
 def test_previous_session_loading():
     """VoxelSLAM(previous_sessions=...) rebuilds keyframes + BTC
     database from a saved session (previous_map_read counterpart)."""

@@ -79,6 +79,14 @@ class LoopCfg:
     acsize: int = 2
     mgsize: int = 2
     is_high_fly: int = 0
+    # descriptor-search capacity knobs (padded/static on device).
+    # Operating points chosen from synthetic recall sweeps (CLAUDE.md):
+    # 16 pairs/query + 128 pairs/candidate keep recall flat through a
+    # multi-revisit ring at ~2x the search cost of the old 8/64 caps.
+    skip_near_num: int = 30
+    candidate_num: int = 20  # candidate frames verified per query
+    max_pairs_per_query: int = 16  # top side-distance matches kept
+    max_cand_pairs: int = 128  # matched pairs evaluated per candidate
 
 
 @dataclass(frozen=True)
@@ -87,6 +95,11 @@ class GBACfg:
     min_eigen_value: float = 0.1
     eigen_value_array: Tuple[float, ...] = (4.0, 4.0, 4.0, 4.0)
     total_max_iter: int = 6
+    # submap-level BA capacity: submaps beyond this are merged by
+    # striding ADJACENT submaps together (no middle-of-trajectory
+    # loss like plain linspace subsampling)
+    max_submaps: int = 32
+    submap_points: int = 32768
 
 
 @dataclass(frozen=True)

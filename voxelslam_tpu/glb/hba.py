@@ -272,8 +272,37 @@ class GlobalMapper:
                 sm["R0"] = np.asarray(k.R0, np.float32)
                 sm["p0"] = np.asarray(k.p0, np.float32)
         if len(subs) > max_submaps:
-            step = int(np.ceil(len(subs) / max_submaps))
-            subs = subs[::step][:max_submaps]
+            # merge ADJACENT same-session submaps into ≤ max_submaps
+            # buckets (keeps full trajectory coverage; plain strided
+            # selection would drop the middle submaps).  Merging never
+            # crosses sessions — unlinked sessions live in different
+            # frames.
+            per_sess: dict = {}
+            for sm in subs:
+                per_sess.setdefault(sm["scan"][0], []).append(sm)
+            merged = []
+            for sess_subs in per_sess.values():
+                share = max(
+                    int(round(max_submaps * len(sess_subs) / len(subs))), 1
+                )
+                bounds = np.linspace(
+                    0, len(sess_subs), min(share, len(sess_subs)) + 1
+                ).astype(int)
+                for b in range(len(bounds) - 1):
+                    grp = sess_subs[bounds[b] : bounds[b + 1]]
+                    if not grp:
+                        continue
+                    Rb, pb = grp[0]["R0"], grp[0]["p0"]
+                    clouds = []
+                    for sm in grp:
+                        pw = sm["cloud"] @ sm["R0"].T + sm["p0"]
+                        clouds.append((pw - pb) @ Rb)
+                    merged.append(dict(
+                        R0=Rb, p0=pb,
+                        cloud=np.concatenate(clouds).astype(np.float32),
+                        first=grp[0]["first"], scan=grp[0]["scan"],
+                    ))
+            subs = merged[:max_submaps]
         W = max_submaps
         P = submap_points
         pts = np.zeros((W, P, 3), np.float32)

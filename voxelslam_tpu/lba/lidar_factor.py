@@ -95,11 +95,15 @@ def harvest(
     wP, wv, wn = vmap.win_P[s], vmap.win_v[s], vmap.win_n[s]
     if col_perm is not None:
         wP, wv, wn = wP[:, col_perm], wv[:, col_perm], wn[:, col_perm]
+    # ring-lap staleness: a column with win_n == 0 may hold stale
+    # cluster rows (clear_window_col invalidates only the count);
+    # zero them here so every factor consumer sees clean moments
+    has = (wn > 0) & ok[:, None]
     return LidarFactors(
         valid=ok,
-        win_P=jnp.where(ok[:, None, None], wP, 0.0),
-        win_v=jnp.where(ok[:, None, None], wv, 0.0),
-        win_n=jnp.where(ok[:, None], wn, 0.0),
+        win_P=jnp.where(has[:, :, None], wP, 0.0),
+        win_v=jnp.where(has[:, :, None], wv, 0.0),
+        win_n=jnp.where(has, wn, 0.0),
         fix_P=jnp.where(ok[:, None], vmap.fix_P[s], 0.0),
         fix_v=jnp.where(ok[:, None], vmap.fix_v[s], 0.0),
         fix_n=jnp.where(ok, vmap.fix_n[s], 0.0),

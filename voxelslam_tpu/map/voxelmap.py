@@ -355,12 +355,14 @@ def push_scan(
 
     wdst = jnp.where(slot_s < C, slot_s * W + col, C * W)
     obody = cluster.point_outer_packed(body)
-    win_P = segsum.sorted_segment_add(
-        vmap.win_P.reshape(C * W, 6), wdst, obody
-    ).reshape(C, W, 6)
-    win_v = segsum.sorted_segment_add(
-        vmap.win_v.reshape(C * W, 3), wdst, body
-    ).reshape(C, W, 3)
+    # destination rows may hold STALE clusters from a previous ring
+    # lap (clear_window_col only invalidates win_n): scatter zeros
+    # first — duplicate indices all write the same value, so the
+    # write is order-independent
+    base_P = vmap.win_P.reshape(C * W, 6).at[wdst].set(0.0, mode="drop")
+    base_v = vmap.win_v.reshape(C * W, 3).at[wdst].set(0.0, mode="drop")
+    win_P = segsum.sorted_segment_add(base_P, wdst, obody).reshape(C, W, 6)
+    win_v = segsum.sorted_segment_add(base_v, wdst, body).reshape(C, W, 3)
     win_n = segsum.sorted_segment_add(
         vmap.win_n.reshape(C * W), wdst, ones
     ).reshape(C, W)
@@ -470,25 +472,19 @@ def slide_window_cols(vmap: VoxelMap) -> VoxelMap:
 
 
 def clear_window_col(vmap: VoxelMap, col: jnp.ndarray) -> VoxelMap:
-    """Zero ONE window column — the ring-buffer slide of the steady
-    hot path (the reference's mp[] ring-index rotation,
-    voxelslam.cpp:1689-1693): instead of physically rolling the
-    (C, W, ·) cluster arrays every scan (~50 MB of HBM traffic), the
-    pipeline advances a column pointer and clears the vacated column."""
-    C, W = vmap.win_n.shape
-    return vmap._replace(
-        win_P=jax.lax.dynamic_update_slice(
-            vmap.win_P, jnp.zeros((C, 1, 6), vmap.win_P.dtype),
-            (0, col, 0),
-        ),
-        win_v=jax.lax.dynamic_update_slice(
-            vmap.win_v, jnp.zeros((C, 1, 3), vmap.win_v.dtype),
-            (0, col, 0),
-        ),
-        win_n=jax.lax.dynamic_update_slice(
-            vmap.win_n, jnp.zeros((C, 1), vmap.win_n.dtype), (0, col)
-        ),
-    )
+    """Invalidate ONE window column — the ring-buffer slide of the
+    steady hot path (the reference's mp[] ring-index rotation,
+    voxelslam.cpp:1689-1693).
+
+    Only win_n is zeroed (a cheap (C, W) mask multiply); the stale
+    win_P/win_v rows stay and are IGNORED by every consumer (all mask
+    by win_n > 0) until the next `push_scan` into this column
+    overwrites them in place (it scatters zeros to its destination
+    rows before accumulating).  This keeps the per-scan slide cost at
+    ~5 MB instead of rewriting the ~50 MB cluster arrays."""
+    W = vmap.win_n.shape[1]
+    keep = (jnp.arange(W, dtype=jnp.int32) != col).astype(vmap.win_n.dtype)
+    return vmap._replace(win_n=vmap.win_n * keep[None, :])
 
 
 # ------------------------------------------------------------------ planes

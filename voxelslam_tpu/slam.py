@@ -525,10 +525,19 @@ class VoxelSLAM:
         btc_params = btc_params._replace(n_proj=max(btc_params.n_proj, 4))
         self.loop = _mgr.LoopManager(
             btc_params,
-            _db.SearchParams(icp_threshold=cfg.loop.jud_default * 0.3),
+            _db.SearchParams(
+                icp_threshold=cfg.loop.jud_default * 0.3,
+                skip_near_num=cfg.loop.skip_near_num,
+                candidate_num=cfg.loop.candidate_num,
+                max_pairs_per_query=cfg.loop.max_pairs_per_query,
+                max_cand_pairs=cfg.loop.max_cand_pairs,
+            ),
             win_size=cfg.local_ba.win_size,
             kf_downsample=cfg.odometry.voxel_size / 10.0,
             icp_eigval=cfg.loop.icp_eigval,
+            ratio_drift=cfg.loop.ratio_drift,
+            curr_halt=cfg.loop.curr_halt,
+            prev_halt=cfg.loop.prev_halt,
         )
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
@@ -626,7 +635,11 @@ class VoxelSLAM:
             self.gmap.bottom_up_drain(kfs)
             # second hierarchy level over submaps (gba_edges2), base
             # poses refreshed in case PGO moved keyframes since
-            edges2 = self.gmap.submap_level(keyframes=kfs)
+            edges2 = self.gmap.submap_level(
+                keyframes=kfs,
+                max_submaps=self.cfg.gba.max_submaps,
+                submap_points=self.cfg.gba.submap_points,
+            )
             self.gmap.edges.extend(edges2)
             if self.gmap.edges:
                 # top-down: sequential + loop + hessian edges
