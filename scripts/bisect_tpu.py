@@ -30,14 +30,18 @@ from voxelslam_tpu.odom import esikf, pipeline as pl  # noqa: E402
 from voxelslam_tpu.ops import downsample  # noqa: E402
 
 B = 8
-W, N_DS, N_RAW = 10, 4096, 32768
+# shapes overridable from argv: bisect_tpu.py [n_ds] [max_ba_voxels] [log2_cap]
+W, N_RAW = 10, 32768
+N_DS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+MAX_BA = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+CAP = 1 << (int(sys.argv[3]) if len(sys.argv) > 3 else 16)
 
 
 def make_problem():
-    mp_ = MapParams(capacity=1 << 17, max_probe=16, voxel_size=1.0)
+    mp_ = MapParams(capacity=CAP, max_probe=16, voxel_size=1.0)
     ppl = pl.PipelineParams(
         map_params=mp_, win_size=W, n_raw=N_RAW, n_ds=N_DS, n_imu=64,
-        max_ba_voxels=4096, ba_max_iter=2,
+        max_ba_voxels=MAX_BA, ba_max_iter=2,
     )
     rng = np.random.default_rng(0)
     imu_noise = prop.noise_from_cfg(0.01, 0.1, 1e-4, 1e-4)
@@ -152,8 +156,38 @@ def main():
     def no_push(vmap, pts, var, R, p, valid, col, jour, params):
         return vmap, jnp.int32(0), jnp.zeros(
             (params.capacity,), bool
-        )
+        ), jnp.full((pts.shape[0],), params.capacity, jnp.int32)
     ablate("no push_scan", fns=[(voxelmap, "push_scan", no_push)])
+
+    def no_reroute(vmap, pts, var, mask, slot_pt, R, p, col_of_w, jour,
+                   params, max_reroute):
+        C = params.capacity
+        return vmap, slot_pt, jnp.zeros((C,), bool), jnp.int32(0)
+    ablate("no reroute", fns=[(voxelmap, "reroute_subdivided", no_reroute)])
+
+    from voxelslam_tpu.ops import segsum as _segsum
+    from voxelslam_tpu.map import hashmap as _hm
+
+    _real_segsum = _segsum.sorted_segment_add
+
+    def no_cov_segsum(out, idx, vals, drop_beyond=None):
+        # cov_add contributions are the only (K, 9, 9) segment adds
+        if vals.ndim == 3:
+            return out
+        return _real_segsum(out, idx, vals, drop_beyond)
+    ablate("no cov_add accum",
+           fns=[(_segsum, "sorted_segment_add", no_cov_segsum)])
+
+    _real_insert = _hm.insert_points
+
+    def no_insert(keys, coord, level, valid, max_probe, max_unique,
+                  known_slot=None):
+        # pretend every query resolved via assign (steady state: ~all do)
+        s = known_slot if known_slot is not None else jnp.full(
+            coord.shape[0], -1, jnp.int32)
+        return keys, s, jnp.int32(0), jnp.int32(0)
+    ablate("no insert_points",
+           fns=[(_hm, "insert_points", no_insert)])
 
     def no_harvest(vmap, scratch, params, max_voxels, col_perm=None):
         z = jnp.zeros

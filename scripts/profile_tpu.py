@@ -91,7 +91,7 @@ def main():
     vm = voxelmap.empty(mp_, W)
 
     def scatter_f(vm, pts, var, R, p, valid):
-        return voxelmap.scatter(vm, pts, var, R, p, valid, jnp.float32(0), mp_)
+        return voxelmap.scatter(vm, pts, var, R, p, valid, jnp.float32(0), mp_)[:3]
 
     vm, scratch, _ = timeit("scatter (W=10 x 4096)", scatter_f, vm, pts_b,
                             var, R, p, valid)
@@ -119,7 +119,7 @@ def main():
         return voxelmap.push_scan(vm, q, v, R1, p1, m, jnp.int32(W - 1),
                                   jnp.float32(0), mp_)
 
-    vm2, _, touched = timeit("push_scan (1 x 4096)", push_f, vm, pts_b[0],
+    vm2, _, touched, _ = timeit("push_scan (1 x 4096)", push_f, vm, pts_b[0],
                              var[0], R[0], p[0], valid[0])
     timeit("recut_touched (<=4096)",
            lambda vm, R, p, t: voxelmap.recut_touched(vm, R, p, t, mp_, N_DS),

@@ -79,6 +79,12 @@ def bench_shape(name, n_raw, n_ds, max_vox, cap, ba_iter=2):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "small":
+        bench_shape("ds2048 V2048 C=2^16", 32768, 2048, 2048, 1 << 16)
+        bench_shape("ds2048 V2048 C=2^15", 32768, 2048, 2048, 1 << 15)
+        bench_shape("ds2048 V1024 C=2^15", 32768, 2048, 1024, 1 << 15)
+        bench_shape("ds1536 V1536 C=2^15", 32768, 1536, 1536, 1 << 15)
+        return
     bench_shape("BASE raw32k ds4096 V4096 C=2^17", 32768, 4096, 4096, 1 << 17)
     bench_shape("ds2048 V2048 C=2^17", 32768, 2048, 2048, 1 << 17)
     bench_shape("ds2048 V2048 C=2^16", 32768, 2048, 2048, 1 << 16)

@@ -69,7 +69,7 @@ def _scatter_scan(vm, pts, params=PARAMS, W=1):
     R = jnp.eye(3, dtype=jnp.float32)[None]
     p = jnp.zeros((1, 3), jnp.float32)
     valid = jnp.ones((1, N), bool)
-    return voxelmap.scatter(vm, pts_b, var, R, p, valid, jnp.float32(0), params)
+    return voxelmap.scatter(vm, pts_b, var, R, p, valid, jnp.float32(0), params)[:3]
 
 
 class TestVoxelMapPlanes:
@@ -191,13 +191,13 @@ class TestVoxelMapPlanes:
         assert occ0 > 0
         # voxels holding live (un-marginalized) window clusters are
         # never dropped, however stale their travel stamp
-        vm2 = voxelmap.evict(vm, jnp.float32(1000.0), PARAMS)
+        vm2, _ = voxelmap.evict(vm, jnp.float32(1000.0), PARAMS)
         assert int(hashmap.stats(vm2.keys).occupied) == occ0
         # once the window content is gone, stale voxels evict
         vm_nowin = vm._replace(win_n=jnp.zeros_like(vm.win_n))
-        vm2 = voxelmap.evict(vm_nowin, jnp.float32(1000.0), PARAMS)
+        vm2, _ = voxelmap.evict(vm_nowin, jnp.float32(1000.0), PARAMS)
         assert int(hashmap.stats(vm2.keys).occupied) == 0
-        vm3 = voxelmap.evict(vm, jnp.float32(100.0), PARAMS)
+        vm3, _ = voxelmap.evict(vm, jnp.float32(100.0), PARAMS)
         assert int(hashmap.stats(vm3.keys).occupied) == occ0
         # surviving entries still resolve
         coord = np.asarray(vm.keys)[np.asarray(vm.keys)[:, 3] >= 0]
@@ -205,6 +205,78 @@ class TestVoxelMapPlanes:
             vm3.keys, jnp.asarray(coord[:, :3]), jnp.asarray(coord[:, 3]), 16
         )
         assert (np.asarray(slots) >= 0).all()
+
+
+class TestReroute:
+    def test_reroute_moves_points_to_children(self):
+        """Inline subdivision re-route (reference subdivide()
+        redistribution, voxel_map.hpp:1150-1194): after a voxel fails
+        the plane gate and subdivides, reroute_subdivided must move
+        every resident window point into the correct level-1 child
+        with exact cluster moments, and marginalize_column must fold
+        only the children (parent skipped via the state gate)."""
+        rng = np.random.default_rng(3)
+        W, N = 2, 240
+        C = PARAMS.capacity
+        # non-planar cloud inside ONE voxel -> fails plane gate
+        pts = rng.uniform(0.05, 0.95, (N, 3)).astype(np.float32)
+        var = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e-4,
+                               (N, 3, 3))
+        R = jnp.eye(3, dtype=jnp.float32)
+        p = jnp.zeros(3, jnp.float32)
+        mask = jnp.ones((N,), bool)
+        vm = voxelmap.empty(PARAMS, W)
+        vm, ovf, touched, slot_new = voxelmap.push_scan(
+            vm, jnp.asarray(pts), var, R, p, mask, jnp.int32(0),
+            jnp.float32(0), PARAMS,
+        )
+        Rw = jnp.broadcast_to(R, (W, 3, 3))
+        pw = jnp.zeros((W, 3), jnp.float32)
+        vm, n_sub, add_n = voxelmap.recut_touched(
+            vm, Rw, pw, touched, PARAMS, size=512
+        )
+        assert int(n_sub) >= 1
+
+        win_pts = jnp.zeros((W, N, 3), jnp.float32).at[0].set(
+            jnp.asarray(pts)
+        )
+        win_var = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32) * 1e-4, (W, N, 3, 3)
+        )
+        win_mask = jnp.zeros((W, N), bool).at[0].set(True)
+        slot_pt = jnp.full((W, N), C, jnp.int32).at[0].set(slot_new)
+        col_of_w = jnp.arange(W, dtype=jnp.int32)
+        vm2, slot2, child_touch, n_left = voxelmap.reroute_subdivided(
+            vm, win_pts, win_var, win_mask, slot_pt, Rw, pw, col_of_w,
+            jnp.float32(0), PARAMS, 512,
+        )
+        assert int(n_left) == 0
+        # every point now records a level-1 slot
+        s0 = np.asarray(slot2[0])
+        assert (s0 < C).all()
+        lv = np.asarray(vm2.keys)[s0, 3]
+        assert (lv == 1).all()
+        # per-child cluster moments exactly match a direct grouping
+        child_coord = np.floor(pts / 0.5).astype(np.int64)
+        keysv = np.asarray(vm2.keys)
+        winn = np.asarray(vm2.win_n)
+        winv = np.asarray(vm2.win_v)
+        seen = set()
+        for s in np.unique(s0):
+            cx, cy, cz, clv = keysv[s]
+            grp = (child_coord == np.array([cx, cy, cz])).all(axis=1)
+            assert clv == 1
+            np.testing.assert_allclose(winn[s, 0], grp.sum())
+            np.testing.assert_allclose(
+                winv[s, 0], pts[grp].sum(axis=0), rtol=1e-5, atol=1e-4
+            )
+            seen.add((cx, cy, cz))
+        assert len(seen) >= 2
+        # marginalize folds ONLY the children (parent state==1 skipped)
+        vm3 = voxelmap.marginalize_column(
+            vm2, R, p, jnp.int32(0), PARAMS, size=512
+        )
+        np.testing.assert_allclose(float(jnp.sum(vm3.fix_n)), N)
 
 
 class TestIncrementalPush:
@@ -254,12 +326,12 @@ class TestIncrementalPush:
         W = 4
         pts, var, Rs, ps, valid = self._window(W)
         vm_a = voxelmap.empty(PARAMS, W)
-        vm_a, scr_a, _ = voxelmap.scatter(
+        vm_a, scr_a, _, _ = voxelmap.scatter(
             vm_a, pts, var, Rs, ps, valid, jnp.float32(0), PARAMS
         )
         vm_b = voxelmap.empty(PARAMS, W)
         for w in range(W):
-            vm_b, ovf, _ = voxelmap.push_scan(
+            vm_b, ovf, _, _ = voxelmap.push_scan(
                 vm_b, pts[w], var[w], Rs[w], ps[w], valid[w],
                 jnp.int32(w), jnp.float32(0), PARAMS,
             )
@@ -280,14 +352,14 @@ class TestIncrementalPush:
         W = 2
         pts, var, Rs, ps, valid = self._window(W)
         vm = voxelmap.empty(PARAMS, W)
-        vm, _, _ = voxelmap.push_scan(
+        vm, _, _, _ = voxelmap.push_scan(
             vm, pts[0], var[0], Rs[0], ps[0], valid[0],
             jnp.int32(0), jnp.float32(0), PARAMS,
         )
         vm = voxelmap.clear_window_col(vm, jnp.int32(0))
         assert float(jnp.sum(vm.win_n[:, 0])) == 0.0
         # ring lap: scan 1 lands in the SAME column
-        vm, _, _ = voxelmap.push_scan(
+        vm, _, _, _ = voxelmap.push_scan(
             vm, pts[1], var[1], Rs[1], ps[1], valid[1],
             jnp.int32(0), jnp.float32(0), PARAMS,
         )
@@ -296,7 +368,7 @@ class TestIncrementalPush:
         )
         # reference: fresh map with only scan 1
         vm_r = voxelmap.empty(PARAMS, W)
-        vm_r, _, _ = voxelmap.push_scan(
+        vm_r, _, _, _ = voxelmap.push_scan(
             vm_r, pts[1], var[1], Rs[1], ps[1], valid[1],
             jnp.int32(0), jnp.float32(0), PARAMS,
         )
@@ -318,7 +390,7 @@ class TestIncrementalPush:
         pts, var, Rs, ps, valid = self._window(W)
         vm = voxelmap.empty(PARAMS, W)
         for w in range(W):
-            vm, _, _ = voxelmap.push_scan(
+            vm, _, _, _ = voxelmap.push_scan(
                 vm, pts[w], var[w], Rs[w], ps[w], valid[w],
                 jnp.int32(w), jnp.float32(0), PARAMS,
             )

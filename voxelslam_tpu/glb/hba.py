@@ -83,7 +83,7 @@ def _window_ba_once(pts, mask, R, p, params: MapParams, max_vox, iters,
     )
     scratch = None
     for _ in range(passes):
-        vm, scratch, _ = voxelmap.scatter(
+        vm, scratch, _, _ = voxelmap.scatter(
             vm, pts, var, R, p, mask, jnp.zeros((), dtype), params
         )
         vm, _ = voxelmap.recut(vm, scratch, params)

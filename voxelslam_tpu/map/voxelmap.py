@@ -236,7 +236,10 @@ def scatter(
     post-loop map swaps, HBA window maps, and as the subdivision
     fallback (re-routing every window point through fresh children).
 
-    Returns (vmap', ScanScratch, overflow_count).
+    Returns (vmap', ScanScratch, overflow_count, slot_pt) where
+    slot_pt (W, N) int32 is each point's resolved map slot (C for
+    dropped/invalid) — the routing record consumed by the inline
+    subdivision re-route (`reroute_subdivided`).
     """
     W, N, _ = pts_body.shape
     C = params.capacity
@@ -308,7 +311,8 @@ def scatter(
         win_P=win_P, win_v=win_v, win_n=win_n,
     )
     scratch = window_sums(vmap, R, p, params)
-    return vmap, scratch, overflow
+    slot_pt = jnp.where(ok, slot, C).reshape(W, N)
+    return vmap, scratch, overflow, slot_pt
 
 
 def push_scan(
@@ -381,6 +385,115 @@ def push_scan(
         ),
         overflow,
         touched,
+        jnp.where(ok, slot, C),  # per-point slot (N,), C = dropped
+    )
+
+
+def reroute_subdivided(
+    vmap: VoxelMap,
+    pts_body: jnp.ndarray,  # (W, N, 3) window body-frame points
+    var_w: jnp.ndarray,  # (W, N, 3, 3)
+    mask: jnp.ndarray,  # (W, N)
+    slot_pt: jnp.ndarray,  # (W, N) int32 current slot per point (C=invalid)
+    R: jnp.ndarray,  # (W, 3, 3) LOGICAL-order window poses
+    p: jnp.ndarray,  # (W, 3)
+    col_of_w: jnp.ndarray,  # (W,) physical ring column of logical slot w
+    jour: jnp.ndarray,
+    params: MapParams,
+    max_reroute: int,
+):
+    """Inline subdivision re-route — the TPU counterpart of the
+    reference's OctoTree subdivide() point redistribution
+    (voxel_map.hpp:1150-1194), run unconditionally every steady scan.
+
+    Resident window points whose recorded voxel flipped to subdivided
+    (state == 1) are re-assigned through the level descent, their
+    body-frame moments scattered into the CHILD voxels' window
+    columns, and their slot records updated.  The parent's window
+    rows are left stale: every consumer masks them out via
+    state == 0 (harvest/match/recut) and `marginalize_column`
+    skips subdivided slots, so ring laps clean them up naturally.
+
+    At most `max_reroute` points move per call; the rest stay flagged
+    (state of their slot remains 1) and retry next scan — a bounded,
+    self-draining backlog instead of a host-dispatched full rebuild.
+
+    Returns (vmap', slot_pt', child_touch (C,) bool, n_left).
+    """
+    C = params.capacity
+    W, N = mask.shape
+    dtype = pts_body.dtype
+    K = max_reroute
+
+    flat_slot = slot_pt.reshape(-1)
+    st = vmap.state[jnp.clip(flat_slot, 0, C - 1)]
+    need = mask.reshape(-1) & (flat_slot < C) & (st == 1)
+    (ridx,) = jnp.nonzero(need, size=K, fill_value=W * N)
+    rok = ridx < W * N
+    ri = jnp.clip(ridx, 0, W * N - 1)
+    w_of = (ri // N).astype(jnp.int32)
+
+    body = pts_body.reshape(-1, 3)[ri]
+    var = var_w.reshape(-1, 3, 3)[ri]
+    pts_w = jnp.einsum("kij,kj->ki", R[w_of], body) + p[w_of]
+
+    coord, lvl, slot0 = assign(vmap, pts_w, rok, params)
+    keys, slot, _, _ = hashmap.insert_points(
+        vmap.keys, coord, lvl, rok, params.max_probe,
+        max_unique=K, known_slot=slot0,
+    )
+    ok = rok & (slot >= 0)
+    slot_safe = jnp.where(ok, slot, C)
+    jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
+
+    sizes = jnp.asarray(
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
+    )
+    center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
+    rel = pts_w - center
+
+    colw = col_of_w[w_of]
+    wdst = jnp.where(ok, slot * W + colw, C * W)
+    order = jnp.argsort(wdst)
+    wdst_s = wdst[order]
+    body_s = body[order]
+    rel_s = rel[order]
+    slot_s = jnp.where(wdst_s < C * W, wdst_s // W, C)
+
+    winP = vmap.win_P.reshape(C * W, 6)
+    winv = vmap.win_v.reshape(C * W, 3)
+    winn = vmap.win_n.reshape(C * W)
+    # a destination row with win_n == 0 may hold a stale cluster from
+    # a previous ring lap — zero those rows before accumulating (live
+    # rows accumulate on top, exactly like a second scan's push)
+    stale = winn[jnp.clip(wdst_s, 0, C * W - 1)] == 0
+    zdst = jnp.where(stale, wdst_s, C * W)
+    winP = winP.at[zdst].set(0.0, mode="drop")
+    winv = winv.at[zdst].set(0.0, mode="drop")
+
+    obody = cluster.point_outer_packed(body_s)
+    winP = segsum.sorted_segment_add(winP, wdst_s, obody).reshape(C, W, 6)
+    winv = segsum.sorted_segment_add(winv, wdst_s, body_s).reshape(C, W, 3)
+    winn = segsum.sorted_segment_add(
+        winn, wdst_s, jnp.ones((K,), dtype)
+    ).reshape(C, W)
+
+    bcov = _bf_var(rel_s, var[order])
+    cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
+
+    child_touch = jnp.zeros((C,), bool).at[slot_safe].set(True, mode="drop")
+    flat_slot = flat_slot.at[jnp.where(ok, ri, W * N)].set(
+        slot_safe, mode="drop"
+    )
+    n_left = jnp.sum(need) - jnp.sum(ok)
+    return (
+        vmap._replace(
+            keys=keys, jour=jour_arr, cov_add=cov_add,
+            win_P=winP, win_v=winv, win_n=winn,
+        ),
+        flat_slot.reshape(W, N),
+        child_touch,
+        n_left,
     )
 
 
@@ -446,7 +559,12 @@ def marginalize_column(
     cn = cn_full[s_]
     t = p[None, :] - centers  # (A, 3)
     wld = cluster.transform(Cluster(cP, cv, cn), R[None], t)
-    gate = aok & (vmap.fix_n[s_] < params.max_points) & (cn > 0)
+    # subdivided parents hold stale/partial window rows (their points
+    # were re-routed to children, which fold their own copies) — skip
+    gate = (
+        aok & (vmap.fix_n[s_] < params.max_points) & (cn > 0)
+        & (vmap.state[s_] == 0)
+    )
     dst = jnp.where(gate, aidx, C)
     # compacted nonzero indices are unique and ascending; the gate
     # only interleaves the drop sentinel, so no sorted/unique promises
@@ -800,6 +918,10 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
     load factor climbs (the reference's counterpart is the pool trim,
     voxelslam.cpp:1528-1536).  Voxels with live window points are
     never dropped (they carry un-marginalized scan moments).
+
+    Returns (vmap', dstmap) — dstmap (C+1,) int32 maps every old slot
+    to its new slot (C for dropped; dstmap[C] = C), so callers can
+    remap stored slot records (the window's per-point routing).
     """
     C = params.capacity
     if evict_dist is None:
@@ -822,6 +944,9 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
         out = jnp.full_like(arr, fill)
         return out.at[dst].set(arr, mode="drop")
 
+    dstmap = jnp.concatenate(
+        [jnp.where(dst < C, dst, C), jnp.full((1,), C, jnp.int32)]
+    )
     return VoxelMap(
         keys=keys,
         state=move(vmap.state),
@@ -840,7 +965,7 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
         eig=move(vmap.eig),
         last_num=move(vmap.last_num),
         jour=move(vmap.jour),
-    )
+    ), dstmap
 
 
 # compiled entry points for the host loop (eager ops on the axon TPU

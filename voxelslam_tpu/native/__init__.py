@@ -54,7 +54,38 @@ def lib():
         L.sort_by_offset.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long
         ]
+        L.voxel_reduce.restype = ctypes.c_int
+        L.voxel_reduce.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long,
+        ]
         _lib = L
         return L
     except OSError:
         return None
+
+
+def voxel_reduce(pts, offt, cell: float, max_out: int):
+    """One representative point (nearest cell center) per `cell`-sized
+    voxel; keeps each representative's own time offset.  Returns
+    (pts', offt'), "overflow" when distinct cells exceed max_out
+    (caller should coarsen the cell), or None when the native library
+    is unavailable."""
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    offt = np.ascontiguousarray(offt, np.float32)
+    n = len(pts)
+    out_xyz = np.empty((max_out, 3), np.float32)
+    out_t = np.empty((max_out,), np.float32)
+    m = L.voxel_reduce(
+        pts.ctypes.data, offt.ctypes.data, n, float(cell),
+        out_xyz.ctypes.data, out_t.ctypes.data, max_out,
+    )
+    if m < 0:
+        return "overflow"
+    return out_xyz[:m], out_t[:m]

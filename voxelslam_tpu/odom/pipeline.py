@@ -60,9 +60,13 @@ class PipelineParams(NamedTuple):
     ba_max_iter: int = 3
     # steady-state subdivision-rebuild deferral: rebuild when pending
     # subdivisions exceed subdiv_burst, or any are older than
-    # subdiv_defer scans
+    # subdiv_defer scans (legacy valve; the inline re-route below
+    # normally drains subdivisions without host rebuilds)
     subdiv_defer: int = 8
     subdiv_burst: int = 16
+    # inline subdivision re-route: resident window points moved to
+    # child voxels per steady scan (bounded; backlog retries next scan)
+    max_reroute: int = 1024
 
 
 class WindowState(NamedTuple):
@@ -71,6 +75,9 @@ class WindowState(NamedTuple):
     mask: jnp.ndarray  # (W, N)
     xs: NavState  # stacked window states (leading dim W)
     pres: pre.Preint  # stacked (W-1) preintegration factors
+    slot: jnp.ndarray  # (W, N) int32 map slot each point routed to at
+    #   push time (C = invalid) — consumed by the inline subdivision
+    #   re-route (voxelmap.reroute_subdivided)
 
 
 class Carry(NamedTuple):
@@ -90,6 +97,9 @@ class Carry(NamedTuple):
     #   voxelslam.cpp:1689-1693) — logical slot w lives in physical
     #   column (col0 + w) % W.  Full-rebuild paths write columns in
     #   logical order and reset col0 = 0.
+    rr_touch: jnp.ndarray  # (C,) bool — child voxels created by last
+    #   scan's subdivision re-route, folded into the next recut's
+    #   touched set so fresh children get planes one scan later
 
 
 class ScanInputs(NamedTuple):
@@ -124,12 +134,14 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
     x = state.identity(dtype)
     xs = jax.tree.map(lambda a: jnp.broadcast_to(a, (W,) + a.shape).copy(), x)
     pres = pre.identity((W - 1,), dtype)
+    C = pp.map_params.capacity
     win = WindowState(
         pts=jnp.zeros((W, N, 3), dtype),
         var=jnp.zeros((W, N, 3, 3), dtype),
         mask=jnp.zeros((W, N), bool),
         xs=xs,
         pres=pres,
+        slot=jnp.full((W, N), C, jnp.int32),
     )
     return Carry(
         x=x,
@@ -140,6 +152,7 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         last_pos=jnp.zeros((3,), dtype),
         init_flat=jnp.zeros((W, flat_len(pp)), dtype),
         col0=jnp.zeros((), jnp.int32),
+        rr_touch=jnp.zeros((C,), bool),
     )
 
 
@@ -202,7 +215,7 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
     voxelslam.cpp:1398-1453).  Used by initialization iterations, the
     post-loop map swap and the steady-state subdivision fallback; the
     per-scan hot path uses `_push_recut`."""
-    vmap, scratch, overflow = voxelmap.scatter(
+    vmap, scratch, overflow, slots = voxelmap.scatter(
         vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
         pp.map_params,
     )
@@ -211,38 +224,37 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
     # further passes re-route points through fresh subdivisions; in
     # steady state subdivisions are rare, so they run under lax.cond
     def one_pass(args):
-        vmap, scratch, overflow = args
-        vmap, scratch, ovf = voxelmap.scatter(
+        vmap, scratch, overflow, slots = args
+        vmap, scratch, ovf, slots = voxelmap.scatter(
             vmap, win.pts, win.var, win.xs.R, win.xs.p, win.mask, jour,
             pp.map_params,
         )
         vmap, _ = voxelmap.recut(vmap, scratch, pp.map_params)
-        return vmap, scratch, overflow + ovf
+        return vmap, scratch, overflow + ovf, slots
 
     for _ in range(pp.scatter_passes - 1):
-        vmap, scratch, overflow = jax.lax.cond(
-            n_subdiv > 0, one_pass, lambda a: a, (vmap, scratch, overflow)
+        vmap, scratch, overflow, slots = jax.lax.cond(
+            n_subdiv > 0, one_pass, lambda a: a,
+            (vmap, scratch, overflow, slots),
         )
-    return vmap, scratch, overflow
+    return vmap, scratch, overflow, slots
 
 
-def _push_recut(vmap: VoxelMap, win: WindowState, col0, jour,
+def _push_recut(vmap: VoxelMap, win: WindowState, col0, rr_touch, jour,
                 pp: PipelineParams):
-    """Steady-state map update: incremental push of ONE scan + plane
-    refit of only the pushed scan's voxels (marginalization conserves
-    per-voxel content, so untouched planes remain valid).
+    """Steady-state map update: incremental push of ONE scan, plane
+    refit of the pushed scan's voxels (+ last scan's re-route
+    children), then the inline subdivision re-route.
 
     Subdivided voxels need their resident window clusters re-routed to
-    fresh children (the reference's subdivide() redistribution).  That
-    full window rebuild is deliberately NOT in this program: a
-    `lax.cond` over the map state costs ~40-80 ms/step on TPU even
-    when untaken (the conditional materializes + copies its whole
-    operand tuple across the branch boundary).  Instead `n_subdiv`
-    goes to the host, which dispatches the separate `rebuild_map`
-    program when its deferral policy fires — a freshly subdivided
-    voxel contributes no planes/factors until rebuilt, so batching a
-    trickle of subdivisions over a few scans is a bounded, tiny
-    factor loss."""
+    fresh children (the reference's subdivide() redistribution,
+    voxel_map.hpp:1150-1194).  The re-route runs UNCONDITIONALLY as a
+    small bounded pass (`voxelmap.reroute_subdivided`): the per-point
+    slot record makes the affected set a cheap compaction instead of a
+    full window re-scatter, and a `lax.cond` would cost more than the
+    pass itself (the conditional copies its whole operand tuple).
+
+    Returns (vmap', win', add_n, overflow, n_subdiv, rr_touch')."""
     W = pp.win_size
     wl = W - 1  # logical slot of the fresh scan
     col = (col0 + wl) % W  # its physical ring column
@@ -251,27 +263,42 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col0, jour,
     mask = win.mask[wl]
     R = win.xs.R[wl]
     p = win.xs.p[wl]
-    vmap, overflow, touched = voxelmap.push_scan(
+    vmap, overflow, touched, slot_new = voxelmap.push_scan(
         vmap, pts, var, R, p, mask, col, jour, pp.map_params
+    )
+    win = win._replace(
+        slot=jax.lax.dynamic_update_index_in_dim(win.slot, slot_new, wl, 0)
     )
     # poses permuted to PHYSICAL column order: physical column c holds
     # logical slot (c - col0) % W
     perm = (jnp.arange(W, dtype=jnp.int32) - col0) % W
     vmap, n_subdiv, add_n = voxelmap.recut_touched(
-        vmap, win.xs.R[perm], win.xs.p[perm], touched, pp.map_params,
-        size=min(pp.n_ds, pp.map_params.max_active),
+        vmap, win.xs.R[perm], win.xs.p[perm], touched | rr_touch,
+        pp.map_params, size=min(pp.n_ds, pp.map_params.max_active),
     )
-    return vmap, add_n, overflow, n_subdiv
+    # inline re-route of points whose voxel just subdivided
+    col_of_w = (col0 + jnp.arange(W, dtype=jnp.int32)) % W
+    vmap, slot_pt, child_touch, _ = voxelmap.reroute_subdivided(
+        vmap, win.pts, win.var, win.mask, win.slot, win.xs.R, win.xs.p,
+        col_of_w, jour, pp.map_params, pp.max_reroute,
+    )
+    win = win._replace(slot=slot_pt)
+    return vmap, win, add_n, overflow, n_subdiv, child_touch
 
 
 @partial(jax.jit, static_argnames=("pp",))
 def rebuild_map(carry: Carry, pp: PipelineParams) -> Carry:
     """Full window rebuild + plane refit as its own (host-dispatched)
-    device program — the subdivision re-route path, kept out of the
-    per-scan hot program (see _push_recut).  Rebuilds write the map's
-    window columns in logical order, so the ring pointer resets."""
-    vmap, _, _ = _scatter_recut(carry.vmap, carry.win, carry.jour, pp)
-    return carry._replace(vmap=vmap, col0=jnp.zeros((), jnp.int32))
+    device program — the fallback re-route path (init transition,
+    legacy valve; steady subdivisions drain inline in _push_recut).
+    Rebuilds write the map's window columns in logical order, so the
+    ring pointer resets."""
+    vmap, _, _, slots = _scatter_recut(carry.vmap, carry.win, carry.jour, pp)
+    return carry._replace(
+        vmap=vmap, col0=jnp.zeros((), jnp.int32),
+        win=carry.win._replace(slot=slots),
+        rr_touch=jnp.zeros_like(carry.rr_touch),
+    )
 
 
 def _push_window(win: WindowState, idx, pts_b, var_w, mask, x_post, preint):
@@ -305,6 +332,7 @@ def _slide_window(win: WindowState) -> WindowState:
         mask=win.mask.at[:-1].set(win.mask[1:]).at[-1].set(False),
         xs=jax.tree.map(roll, win.xs),
         pres=jax.tree.map(roll, win.pres),
+        slot=roll(win.slot),
     )
     return win
 
@@ -326,7 +354,8 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
                        x_post, preint)
     # full window rebuild every fill scan (the map structure is still
     # forming; this path runs win_size times per session, not hot)
-    vmap, scratch, ovf = _scatter_recut(carry.vmap, win, carry.jour, pp)
+    vmap, scratch, ovf, slots = _scatter_recut(carry.vmap, win, carry.jour, pp)
+    win = win._replace(slot=slots)
     carry = carry._replace(
         x=x_post, vmap=vmap, win=win, win_count=carry.win_count + 1
     )
@@ -351,8 +380,8 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    vmap, add_n, ovf, n_sub = _push_recut(
-        carry.vmap, win, carry.col0, carry.jour, pp
+    vmap, win, add_n, ovf, n_sub, rr_touch = _push_recut(
+        carry.vmap, win, carry.col0, carry.rr_touch, carry.jour, pp
     )
 
     # ---- local BA over the window ----
@@ -398,7 +427,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
     carry = carry._replace(
         x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
-        col0=col0,
+        col0=col0, rr_touch=rr_touch,
     )
     out = StepOutputs(
         x=x_new, degenerate=res.degenerate, match_count=res.match_count,
@@ -497,7 +526,7 @@ def init_refine(carry: Carry, pp: PipelineParams,
             win,
         )
         vmap = voxelmap.empty(pp.map_params, pp.win_size)
-        vmap, scratch, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
+        vmap, scratch, _, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
         factors = lf.harvest(vmap, scratch, pp.map_params, pp.max_ba_voxels)
         ba = opt.li_ba(
             win.xs, factors, win.pres, imu_coef=pp.imu_coef,
@@ -531,7 +560,8 @@ def init_refine(carry: Carry, pp: PipelineParams,
 
     # rebuild the map once more under the aligned states
     vmap = voxelmap.empty(pp.map_params, pp.win_size)
-    vmap, scratch, _ = _scatter_recut(vmap, win, jnp.zeros(()), pp)
+    vmap, scratch, _, slots = _scatter_recut(vmap, win, jnp.zeros(()), pp)
+    win = win._replace(slot=slots)
 
     # plane-span degeneracy metric: min eig of Σ n nᵀ over plane voxels
     nn = jnp.einsum(
@@ -617,9 +647,11 @@ def apply_loop_correction(
     vmap = _recut_fixed(vmap, None, pp)
 
     # rescatter the corrected window (logical column order)
-    vmap, scratch, _ = _scatter_recut(vmap, win, carry.jour, pp)
+    vmap, scratch, _, slots = _scatter_recut(vmap, win, carry.jour, pp)
+    win = win._replace(slot=slots)
     return carry._replace(
-        x=x, vmap=vmap, win=win, col0=jnp.zeros((), jnp.int32)
+        x=x, vmap=vmap, win=win, col0=jnp.zeros((), jnp.int32),
+        rr_touch=jnp.zeros_like(carry.rr_touch),
     )
 
 

@@ -63,6 +63,7 @@ def carry_shardings(mesh: Mesh):
             mask=NamedSharding(mesh, P(None, "data")),
             xs=rep_tree(carry.win.xs),
             pres=rep_tree(carry.win.pres),
+            slot=NamedSharding(mesh, P(None, "data")),
         )
         return carry._replace(
             x=rep_tree(carry.x),
@@ -73,6 +74,7 @@ def carry_shardings(mesh: Mesh):
             last_pos=rep,
             init_flat=rep,
             col0=rep,
+            rr_touch=rep,
         )
 
     return build

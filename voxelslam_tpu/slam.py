@@ -33,6 +33,19 @@ from .map.voxelmap import MapParams
 from .odom import pipeline as pl
 
 
+@jax.jit
+def _remap_slots(dstmap: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Apply an eviction's old->new slot map to stored slot records."""
+    return dstmap[slot]
+
+
+@jax.jit
+def _remap_touch(dstmap: jnp.ndarray, touch: jnp.ndarray) -> jnp.ndarray:
+    """Move a (C,) touched mask through an eviction's slot map."""
+    C = touch.shape[0]
+    return jnp.zeros_like(touch).at[dstmap[:C]].set(touch, mode="drop")
+
+
 @dataclass
 class ScanRecord:
     """One processed scan's outputs, host-side."""
@@ -111,17 +124,51 @@ class SlamFrontend:
         self._fill_count = 0
         self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
         self._batch_buf = []  # flats awaiting a full device batch
-        self._subdiv_pending = 0  # subdivisions awaiting window rebuild
-        self._since_rebuild = 0
         self._pressure = False  # hash overflow seen -> compact
         self._scans_since_load_check = 0
 
     # ------------------------------------------------------------- inputs
 
+    def _reduce_raw(self, pts: np.ndarray, offsets: np.ndarray):
+        """Host pre-reduction when a scan exceeds the raw padding:
+        keep one representative per grid cell (nearest cell center,
+        carrying its OWN timestamp so device deskew stays exact),
+        coarsening the cell until the scan fits `n_raw` — replaces
+        silent truncation.  Equivalent to the reference's
+        down_sampling_close applied before deskew; the device still
+        runs the post-deskew voxel average at `down_size`."""
+        n_raw = self.pp.n_raw
+        if len(pts) <= n_raw:
+            return pts, offsets
+        base = self.pp.down_size
+        from . import native
+        for cell in (base * 0.5, base, base * 2.0, base * 4.0):
+            r = native.voxel_reduce(pts, offsets, cell, n_raw)
+            if r is None:
+                break
+            if isinstance(r, tuple):
+                return r
+        # numpy fallback: first point per cell
+        cell = base
+        p = np.asarray(pts)
+        for _ in range(4):
+            ids = np.floor(p / cell).astype(np.int64)
+            key = (
+                (ids[:, 0] & 0x1FFFFF) << 42
+                | (ids[:, 1] & 0x1FFFFF) << 21
+                | (ids[:, 2] & 0x1FFFFF)
+            )
+            _, first = np.unique(key, return_index=True)
+            if len(first) <= n_raw:
+                return p[first], np.asarray(offsets)[first]
+            cell *= 2.0
+        return p[:n_raw], np.asarray(offsets)[:n_raw]
+
     def _pack_scan(self, pts: np.ndarray, offsets: np.ndarray,
                    t_begin: float, t_end: float,
                    imu_t, imu_gyr, imu_acc) -> pl.ScanInputs:
         n_raw = self.pp.n_raw
+        pts, offsets = self._reduce_raw(pts, offsets)
         K = min(len(pts), n_raw)
         P = np.zeros((n_raw, 3), np.float32)
         O = np.zeros((n_raw,), np.float32)
@@ -149,6 +196,7 @@ class SlamFrontend:
     def _pack_flat(self, pts, offsets, t_begin, t_end,
                    imu_t, imu_gyr, imu_acc) -> np.ndarray:
         n_raw = self.pp.n_raw
+        pts, offsets = self._reduce_raw(pts, offsets)
         K = min(len(pts), n_raw)
         P = np.zeros((n_raw, 3), np.float32)
         O = np.zeros((n_raw,), np.float32)
@@ -181,11 +229,11 @@ class SlamFrontend:
             out = jax.tree.map(lambda a: a[b], outs)
             rec = self._record(out, t_ends[b])
             self.telemetry.count("scans")
-            # accumulate subdivisions; the deferred window rebuild is
-            # a separate host-dispatched program (a lax.cond over the
-            # map inside the hot step costs ~80 ms/step even untaken)
-            self._subdiv_pending += int(getattr(out, "n_subdiv", 0))
-            self._since_rebuild += 1
+            # subdivisions drain inline in the step (reroute pass);
+            # count them for observability only
+            ns = int(getattr(out, "n_subdiv", 0))
+            if ns:
+                self.telemetry.count("subdivisions", ns)
             # hash-pressure accounting: dropped insertions mean the
             # table is saturating — trigger the compaction valve
             # (reference pressure valve: distance eviction + pool trim,
@@ -317,18 +365,6 @@ class SlamFrontend:
         self._batch_buf.append((flat, t_end))
         if len(self._batch_buf) < self.scan_batch:
             return rec_prev
-        # deferred subdivision re-route: run the full window rebuild
-        # as its own program between batches (never inside the hot
-        # step — a lax.cond over the map costs ~80 ms even untaken)
-        if self._subdiv_pending >= self.pp.subdiv_burst or (
-            self._subdiv_pending > 0
-            and self._since_rebuild >= self.pp.subdiv_defer
-        ):
-            with self.telemetry.stage("rebuild"):
-                self.carry = pl.rebuild_map(self.carry, self.pp)
-            self.telemetry.count("rebuilds")
-            self._subdiv_pending = 0
-            self._since_rebuild = 0
         flats = np.stack([f for f, _ in self._batch_buf])
         t_ends = [t for _, t in self._batch_buf]
         self._batch_buf = []
@@ -361,11 +397,17 @@ class SlamFrontend:
     def _evict(self, jour_now: float, dist: float):
         from .map import voxelmap as _vm
         with self.telemetry.stage("evict"):
+            vmap, dstmap = _vm.evict_compiled(
+                self.carry.vmap, jnp.asarray(jour_now, self.dtype),
+                self.pp.map_params, jnp.asarray(dist, self.dtype),
+            )
+            # compaction moved slots: remap the window's per-point
+            # routing records and the pending re-route touched set
+            win = self.carry.win
             self.carry = self.carry._replace(
-                vmap=_vm.evict_compiled(
-                    self.carry.vmap, jnp.asarray(jour_now, self.dtype),
-                    self.pp.map_params, jnp.asarray(dist, self.dtype),
-                )
+                vmap=vmap,
+                win=win._replace(slot=_remap_slots(dstmap, win.slot)),
+                rr_touch=_remap_touch(dstmap, self.carry.rr_touch),
             )
         self.telemetry.count("evictions")
 
@@ -459,8 +501,6 @@ class SlamFrontend:
         self._pending = None
         self._batch_buf = []
         self._fill_count = 0
-        self._subdiv_pending = 0
-        self._since_rebuild = 0
         self.session += 1
         self.degrade_cnt = 0
         self.phase = "IMU_INIT"
