@@ -53,7 +53,10 @@ def main():
         ),
         local_ba=LocalBACfg(win_size=10, max_iter=2),
         shapes=Shapes(
-            max_raw_points=32768,
+            # 28.8k-ray scans host-reduce (native voxel_reduce, one
+            # representative per down_size cell) to fit 8192 — cuts
+            # device deskew/downsample and the tunnel transfer 4x
+            max_raw_points=8192,
             max_points=2048,
             max_imu=64,
             hash_capacity=1 << 16,

@@ -30,11 +30,13 @@ from voxelslam_tpu.odom import esikf, pipeline as pl  # noqa: E402
 from voxelslam_tpu.ops import downsample  # noqa: E402
 
 B = 8
-# shapes overridable from argv: bisect_tpu.py [n_ds] [max_ba_voxels] [log2_cap]
-W, N_RAW = 10, 32768
+# shapes overridable from argv:
+#   bisect_tpu.py [n_ds] [max_ba_voxels] [log2_cap] [n_raw]
+W = 10
 N_DS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 MAX_BA = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 CAP = 1 << (int(sys.argv[3]) if len(sys.argv) > 3 else 16)
+N_RAW = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
 
 
 def make_problem():
@@ -171,8 +173,8 @@ def main():
     _real_segsum = _segsum.sorted_segment_add
 
     def no_cov_segsum(out, idx, vals, drop_beyond=None):
-        # cov_add contributions are the only (K, 9, 9) segment adds
-        if vals.ndim == 3:
+        # cov_add contributions are the only 45-wide segment adds
+        if vals.ndim == 2 and vals.shape[-1] == 45:
             return out
         return _real_segsum(out, idx, vals, drop_beyond)
     ablate("no cov_add accum",

@@ -52,6 +52,10 @@ class MapParams(NamedTuple):
     voxel_size: float = 1.0
     max_layer: int = 2  # levels 0..max_layer
     min_point: tuple = (5, 5, 5, 5)  # per-level minimum N (voxelslam.cpp:812)
+    refit_growth: int = 5  # refit a touched voxel's plane only when it
+    #   gained this many points since the last refit (the reference
+    #   plane_update growth gate, voxel_map.hpp:1118-1146) — halves
+    #   the per-scan refit set in steady state
     min_eigen_value: float = 0.0025  # plane λ0 gate (avia.yaml)
     plane_thre_inv: tuple = (0.25, 0.25, 0.25, 0.25)  # λ0/λ2 gate, inverted
     #                         at load like voxelslam.cpp:825
@@ -71,9 +75,11 @@ class VoxelMap(NamedTuple):
     fix_P: jnp.ndarray  # (C, 6) fixed moments, center-relative world
     fix_v: jnp.ndarray  # (C, 3)
     fix_n: jnp.ndarray  # (C,)
-    cov_add: jnp.ndarray  # (C, 9, 9) Bf_var accumulation over every
+    cov_add: jnp.ndarray  # (C, 45) Bf_var accumulation over every
     #   point ever pushed (window + fixed) — grow-only, exactly the
-    #   reference's cov_add (voxel_map.hpp:941,990-992)
+    #   reference's cov_add (voxel_map.hpp:941,990-992).  The 9x9 is
+    #   symmetric, stored packed upper-triangular (row-major i<=j) to
+    #   nearly halve the scatter width + HBM traffic of every push
     # persistent per-window-slot BODY-frame clusters (incremental push;
     #   the reference's SlideWindow pcrs_local, voxel_map.hpp:901)
     win_P: jnp.ndarray  # (C, W, 6)
@@ -106,7 +112,7 @@ def empty(params: MapParams, win_size: int, dtype=jnp.float32) -> VoxelMap:
         fix_P=jnp.zeros((C, 6), dtype),
         fix_v=jnp.zeros((C, 3), dtype),
         fix_n=jnp.zeros((C,), dtype),
-        cov_add=jnp.zeros((C, 9, 9), dtype),
+        cov_add=jnp.zeros((C, 45), dtype),
         win_P=jnp.zeros((C, win_size, 6), dtype),
         win_v=jnp.zeros((C, win_size, 3), dtype),
         win_n=jnp.zeros((C, win_size), dtype),
@@ -176,10 +182,20 @@ def assign(vmap: VoxelMap, pts_w: jnp.ndarray, valid: jnp.ndarray,
 
 # ------------------------------------------------------------------ scatter
 
+def _sym9(i: int, j: int) -> int:
+    """Packed upper-triangular index of the symmetric 9x9 (i<=j,
+    row-major): entry (i, j) lives at i*9 - i(i-1)/2 + (j - i)."""
+    if i > j:
+        i, j = j, i
+    return i * 9 - i * (i - 1) // 2 + (j - i)
+
+
 def _bf_var(pw_rel: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
     """Per-point 9x9 covariance contribution of (P_packed, v) moments
     from the point's 3x3 covariance (reference Bf_var,
-    voxel_map.hpp:91-106).  pw_rel: (..., 3) center-relative position.
+    voxel_map.hpp:91-106), PACKED upper-triangular (..., 45) — the
+    matrix is symmetric, so only i<=j entries are built and stored.
+    pw_rel: (..., 3) center-relative position.
 
     Unrolled at trace time into lane-wide elementwise ops (the sparse
     6x3 Bi makes batched tiny matmuls both wasteful and MXU-hostile;
@@ -202,18 +218,17 @@ def _bf_var(pw_rel: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
         [sum(coef * v[k][c] for coef, k in rows[r]) for c in range(3)]
         for r in range(6)
     ]
-    # top-left: BiV @ Biᵀ ; entry (r, s) = Σ_k BiV[r][k] * Bi[s][k]
-    out_rows = []
-    for r in range(6):
-        row = []
-        for scol in range(6):
-            row.append(sum(BiV[r][k] * coef for coef, k in rows[scol]))
-        row.extend(BiV[r])
-        out_rows.append(jnp.stack(row, axis=-1))
-    for i in range(3):
-        row = [BiV[r][i] for r in range(6)] + [v[i][j] for j in range(3)]
-        out_rows.append(jnp.stack(row, axis=-1))
-    return jnp.stack(out_rows, axis=-2)  # (..., 9, 9)
+    out = []
+    for i in range(9):
+        for j in range(i, 9):
+            if i < 6 and j < 6:
+                # top-left: (BiV @ Biᵀ)[i, j]
+                out.append(sum(BiV[i][k] * coef for coef, k in rows[j]))
+            elif i < 6:
+                out.append(BiV[i][j - 6])  # top-right: BiV
+            else:
+                out.append(v[i - 6][j - 6])  # bottom-right: var
+    return jnp.stack(out, axis=-1)  # (..., 45)
 
 
 def scatter(
@@ -611,7 +626,8 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
                   cov9: jnp.ndarray, w: jnp.ndarray, V: jnp.ndarray):
     """Plane center/normal + 6x6 covariance from voxel moments via
     first-order eigenvector perturbation (reference plane_update,
-    voxel_map.hpp:1118-1146).  All args batched over slots."""
+    voxel_map.hpp:1118-1146).  All args batched over slots; cov9 is
+    the PACKED (…, 45) symmetric moment covariance (see _bf_var)."""
     nv = 1.0 / jnp.maximum(n, 1.0)
     center = v * nv[..., None]
     u0 = V[..., :, 0]
@@ -640,7 +656,7 @@ def _plane_params(P: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray,
             ci = coef * uk[..., i]
             for j in range(9):
                 uc[i][j] = uc[i][j] + ci * f[j]
-    c9 = [[cov9[..., i, j] for j in range(9)] for i in range(9)]
+    c9 = [[cov9[..., _sym9(i, j)] for j in range(9)] for i in range(9)]
     # Jc = u_c @ cov9 (3x9); var_nn = Jc @ u_cᵀ (3x3)
     Jc = [
         [sum(uc[i][k] * c9[k][j] for k in range(9)) for j in range(9)]
@@ -719,6 +735,7 @@ def _refit_at(vmap: VoxelMap, aidx: jnp.ndarray, aok: jnp.ndarray,
         plane_var=put(vmap.plane_var, pvar, plane_ok),
         plane_radius=put(vmap.plane_radius, radius, plane_ok),
         eig=put(vmap.eig, w, active),
+        last_num=put(vmap.last_num, n, active),
     )
     return vmap, jnp.sum(subdivide)
 
@@ -763,7 +780,13 @@ def recut_touched(vmap: VoxelMap, R: jnp.ndarray, p: jnp.ndarray,
     add_n = jnp.sum(vmap.win_n, axis=1)
     occupied = vmap.keys[:, 3] >= 0
     leaf = occupied & (vmap.state == 0)
-    touched = leaf & (add_n > 0) & touch
+    # growth gate (reference plane_update, voxel_map.hpp:1118-1146):
+    # refit only voxels that gained >= refit_growth points since their
+    # last refit — fresh voxels (last_num == 0) pass once they clear
+    # the min_point gate inside _refit_at
+    n_tot = vmap.fix_n + add_n
+    grown = (n_tot - vmap.last_num) >= params.refit_growth
+    touched = leaf & (add_n > 0) & touch & grown
     (aidx,) = jnp.nonzero(touched, size=size, fill_value=C)
     aok = aidx < C
     s_ = jnp.clip(aidx, 0, C - 1)

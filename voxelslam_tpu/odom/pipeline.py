@@ -120,12 +120,17 @@ class StepOutputs(NamedTuple):
     # marginalized ScanPose export to the loop-closure layer
     scan_pose: NavState
     scan_v6: jnp.ndarray  # (6,) odometry edge noise (voxelslam.cpp:1656-1658)
-    scan_pts: jnp.ndarray  # (N, 3) the marginalized scan's body points
+    scan_pts: jnp.ndarray  # (N, 3) int16 marginalized-scan body points,
+    #   quantized at 1 cm (host multiplies by 0.01) to slim the
+    #   device->host transfer
     scan_mask: jnp.ndarray  # (N,)
     overflow: jnp.ndarray
-    n_subdiv: jnp.ndarray  # () voxels subdivided this scan — the host
-    #   accumulates these and dispatches `rebuild_map` per its
-    #   deferral policy (subdiv_burst / subdiv_defer)
+    n_subdiv: jnp.ndarray  # () voxels subdivided this scan (drained
+    #   inline by the re-route pass; exported for telemetry)
+    jour: jnp.ndarray  # () travel stamp — host reads it from RESOLVED
+    #   outputs so eviction throttling never syncs on the in-flight
+    #   batch (a float(carry.jour) after dispatch would serialize the
+    #   async pipeline)
 
 
 def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
@@ -359,12 +364,16 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     carry = carry._replace(
         x=x_post, vmap=vmap, win=win, win_count=carry.win_count + 1
     )
+    nocov = jnp.zeros((1, 1), x_post.p.dtype)
     out = StepOutputs(
-        x=x_post, degenerate=res.degenerate, match_count=res.match_count,
+        x=x_post._replace(cov=nocov), degenerate=res.degenerate,
+        match_count=res.match_count,
         n_factors=jnp.zeros((), jnp.int32), ba_resid=jnp.zeros(()),
-        scan_pose=x_post, scan_v6=jnp.zeros((6,)),
-        scan_pts=jnp.zeros_like(pts_b), scan_mask=jnp.zeros_like(mask),
+        scan_pose=x_post._replace(cov=nocov), scan_v6=jnp.zeros((6,)),
+        scan_pts=jnp.zeros(pts_b.shape, jnp.int16),
+        scan_mask=jnp.zeros_like(mask),
         overflow=ovf, n_subdiv=jnp.zeros((), jnp.int32),
+        jour=carry.jour,
     )
     return carry, out
 
@@ -429,11 +438,21 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
         x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
         col0=col0, rr_touch=rr_touch,
     )
+    # output slimming for the tunneled host link: keyframe points
+    # quantized to 1 cm int16 (body-frame range << 327 m), state covs
+    # dropped (no host consumer) — roughly halves the per-batch
+    # device->host transfer
+    nocov = jnp.zeros((1, 1), x_new.p.dtype)
+    pts_q = jnp.clip(
+        jnp.round(scan_pts0 * 100.0), -32767.0, 32767.0
+    ).astype(jnp.int16)
     out = StepOutputs(
-        x=x_new, degenerate=res.degenerate, match_count=res.match_count,
+        x=x_new._replace(cov=nocov), degenerate=res.degenerate,
+        match_count=res.match_count,
         n_factors=jnp.sum(factors.valid), ba_resid=ba.resid1,
-        scan_pose=x0, scan_v6=v6, scan_pts=scan_pts0, scan_mask=scan_mask0,
-        overflow=ovf, n_subdiv=n_sub,
+        scan_pose=x0._replace(cov=nocov), scan_v6=v6, scan_pts=pts_q,
+        scan_mask=scan_mask0,
+        overflow=ovf, n_subdiv=n_sub, jour=jour,
     )
     return carry, out
 

@@ -126,6 +126,7 @@ class SlamFrontend:
         self._batch_buf = []  # flats awaiting a full device batch
         self._pressure = False  # hash overflow seen -> compact
         self._scans_since_load_check = 0
+        self._last_jour = 0.0  # travel stamp from RESOLVED outputs
 
     # ------------------------------------------------------------- inputs
 
@@ -142,7 +143,10 @@ class SlamFrontend:
             return pts, offsets
         base = self.pp.down_size
         from . import native
-        for cell in (base * 0.5, base, base * 2.0, base * 4.0):
+        cells = (base * 0.5, base, base * 2.0, base * 4.0)
+        if len(pts) > 2.5 * n_raw:
+            cells = cells[1:]  # the half cell cannot fit; skip its try
+        for cell in cells:
             r = native.voxel_reduce(pts, offsets, cell, n_raw)
             if r is None:
                 break
@@ -238,6 +242,7 @@ class SlamFrontend:
             # table is saturating — trigger the compaction valve
             # (reference pressure valve: distance eviction + pool trim,
             # voxelslam.cpp:1503-1536)
+            self._last_jour = float(out.jour)
             ovf = int(out.overflow)
             if ovf > 0:
                 self.telemetry.count("hash_overflow", ovf)
@@ -258,7 +263,7 @@ class SlamFrontend:
                     ba=np.asarray(out.scan_pose.ba),
                     g=np.asarray(out.scan_pose.g),
                     v6=np.asarray(out.scan_v6),
-                    pts=np.asarray(out.scan_pts),
+                    pts=np.asarray(out.scan_pts, np.float32) * 0.01,
                     mask=np.asarray(out.scan_mask),
                     session=self.session,
                 )
@@ -299,7 +304,13 @@ class SlamFrontend:
         STEADY-phase results are pipelined: the returned record is the
         PREVIOUS scan's (device executes the current one while the
         host prepares the next); call `flush()` to drain."""
-        rec_prev = self._resolve_pending()
+        # In STEADY the in-flight batch is drained only AFTER the next
+        # batch is packed and dispatched — resolving here would make
+        # the host block for the whole device batch, then pack
+        # serially (measured: single biggest throughput loss).
+        rec_prev = (
+            self._resolve_pending() if self.phase != "STEADY" else None
+        )
         if self._t0 is None:
             self._t0 = t_begin
 
@@ -368,6 +379,9 @@ class SlamFrontend:
         flats = np.stack([f for f, _ in self._batch_buf])
         t_ends = [t for _, t in self._batch_buf]
         self._batch_buf = []
+        prev_pending = self._pending
+        self._pending = None
+        sess0 = self.session
         with self.telemetry.stage("dispatch"):
             if self.scan_batch == 1:
                 self.carry, out = pl.steady_step_flat(
@@ -383,11 +397,21 @@ class SlamFrontend:
                     self.scale_gravity, with_gravity=self.g_update,
                 )
             self.g_update = False
-        self._pending = (out, t_ends)
+        # drain the PREVIOUS batch only now: its device execution
+        # overlapped this batch's packing, so the wait is short, and
+        # the batch just dispatched runs while the host records
+        self._pending = prev_pending
+        rec_prev = self._resolve_pending() or rec_prev
+        if self.session == sess0:
+            self._pending = (out, t_ends)
+        # else: a reset fired while draining — the freshly dispatched
+        # batch belongs to the dead session; drop its outputs
 
-        # distance-based map eviction + table compaction (throttled
-        # host sync: one scalar read per scan is cheap)
-        jour_now = float(self.carry.jour)
+        # distance-based map eviction + table compaction.  The travel
+        # stamp comes from the last RESOLVED batch (one batch stale):
+        # reading carry.jour here would block on the batch just
+        # dispatched and serialize the async pipeline.
+        jour_now = self._last_jour
         if jour_now - self._evict_jour > self.pp.map_params.evict_dist / 8.0:
             self._evict_jour = jour_now
             self._evict(jour_now, self.pp.map_params.evict_dist)
