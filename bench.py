@@ -59,13 +59,19 @@ def main():
             max_raw_points=8192,
             max_points=2048,
             max_imu=64,
+            # C=2^15 measurably degrades ATE (0.007 -> 0.019) even
+            # with zero overflow — hash-order factor selection under
+            # the V cap shifts; keep 2^16.  V=1024 truncates factors
+            # (same ATE cost); keep 2048.
             hash_capacity=1 << 16,
             max_ba_voxels=2048,
             scan_batch=16,
+            refit_size=1024,  # skipped voxels retry on next touch
         ),
     )
 
     log("generating synthetic dataset...")
+    import pickle, os
     traj = synthetic.Trajectory(
         amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
     )
@@ -80,10 +86,21 @@ def main():
     warm = cfg.local_ba.win_size + 1 + 2 * sb
     timed_n = ((24 + sb - 1) // sb) * sb
     n_scans = warm + timed_n
-    data = synthetic.simulate(
-        n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
-        world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
-    )
+    # dataset generation takes ~7 min on the 1-core host: cache it on
+    # disk keyed by the generation parameters (scan count, rays, seed)
+    cache_key = f"bench_data_n{n_scans}_r{dirs.shape[0]}_s7.pkl"
+    cache_path = os.path.join("/tmp", cache_key)
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            data = pickle.load(f)
+        log(f"loaded cached dataset {cache_path}")
+    else:
+        data = synthetic.simulate(
+            n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
+            world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
+        )
+        with open(cache_path, "wb") as f:
+            pickle.dump(data, f)
 
     fe = SlamFrontend(cfg)
     t_compile0 = time.time()
@@ -99,7 +116,10 @@ def main():
     if fe._batch_buf:
         log(f"WARNING: {len(fe._batch_buf)} scans straddle the fence")
 
-    # timed steady-state scans
+    # timed steady-state scans (fresh telemetry: warmup compiles would
+    # otherwise dominate the stage means)
+    from voxelslam_tpu.utils.telemetry import Telemetry
+    fe.telemetry = Telemetry()
     timed = data.scans[warm:]
     import jax
 
@@ -113,6 +133,9 @@ def main():
     sps = len(timed) / dt
     log(fe.telemetry.report())
     log(f"sessions: {fe.session + 1}")
+    # output latency: results arrive one scan_batch behind real time
+    log(f"output latency: {sb} scans batched -> "
+        f"{sb / sps * 1000:.0f} ms behind the stream at this rate")
 
     # sanity: the result must be a real trajectory, not garbage
     ts, Rs, ps = fe.trajectory()

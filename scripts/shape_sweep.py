@@ -79,6 +79,11 @@ def bench_shape(name, n_raw, n_ds, max_vox, cap, ba_iter=2):
 
 def main():
     print("device:", jax.devices()[0], flush=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "bench":
+        # the exact bench operating point, for controlled comparisons
+        bench_shape("raw8192 ds2048 V2048 C=2^16", 8192, 2048, 2048, 1 << 16)
+        bench_shape("raw8192 ds2048 V2048 C=2^15", 8192, 2048, 2048, 1 << 15)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "small":
         bench_shape("ds2048 V2048 C=2^16", 32768, 2048, 2048, 1 << 16)
         bench_shape("ds2048 V2048 C=2^15", 32768, 2048, 2048, 1 << 15)

@@ -118,6 +118,9 @@ class Shapes:
     #                            (reference voxelslam.cpp:812)
     scan_batch: int = 1  # scans per device program (throughput mode:
     #   amortizes dispatch/transfer; adds batch-1 scans of latency)
+    refit_size: int = 0  # per-scan plane-refit compaction bound
+    #   (0 = max_points); smaller pads trade refit latency for step
+    #   time — skipped voxels stay growth-flagged and retry on touch
 
 
 @dataclass(frozen=True)

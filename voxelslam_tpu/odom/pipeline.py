@@ -66,7 +66,17 @@ class PipelineParams(NamedTuple):
     subdiv_burst: int = 16
     # inline subdivision re-route: resident window points moved to
     # child voxels per steady scan (bounded; backlog retries next scan)
+    # 512 lets subdivision-burst backlogs outlive their window column:
+    # not-yet-rerouted points are dropped from fixed history at
+    # marginalization (parents are skipped there), which cost ATE
+    # 0.007->0.019 on the bench room
     max_reroute: int = 1024
+    # plane-refit compaction bound per steady scan: voxels skipped by
+    # the bound stay growth-flagged (last_num unchanged) and retry on
+    # their next touch.  1024 systematically starves refits at
+    # ds=2048 (a scan touches ~2k voxels) and costs ATE 0.007->0.019
+    # on the bench room; keep >= n_ds
+    refit_size: int = 2048
 
 
 class WindowState(NamedTuple):
@@ -279,7 +289,8 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col0, rr_touch, jour,
     perm = (jnp.arange(W, dtype=jnp.int32) - col0) % W
     vmap, n_subdiv, add_n = voxelmap.recut_touched(
         vmap, win.xs.R[perm], win.xs.p[perm], touched | rr_touch,
-        pp.map_params, size=min(pp.n_ds, pp.map_params.max_active),
+        pp.map_params,
+        size=min(pp.refit_size, pp.n_ds, pp.map_params.max_active),
     )
     # inline re-route of points whose voxel just subdivided
     col_of_w = (col0 + jnp.arange(W, dtype=jnp.int32)) % W

@@ -90,6 +90,7 @@ class SlamFrontend:
             beam_err=c.odometry.beam_err,
             imu_coef=c.local_ba.imu_coef,
             ba_max_iter=c.local_ba.max_iter,
+            refit_size=sh.refit_size or sh.max_points,
         )
         self.imu_noise = prop.noise_from_cfg(
             c.odometry.cov_gyr, c.odometry.cov_acc,
@@ -167,33 +168,6 @@ class SlamFrontend:
                 return p[first], np.asarray(offsets)[first]
             cell *= 2.0
         return p[:n_raw], np.asarray(offsets)[:n_raw]
-
-    def _pack_scan(self, pts: np.ndarray, offsets: np.ndarray,
-                   t_begin: float, t_end: float,
-                   imu_t, imu_gyr, imu_acc) -> pl.ScanInputs:
-        n_raw = self.pp.n_raw
-        pts, offsets = self._reduce_raw(pts, offsets)
-        K = min(len(pts), n_raw)
-        P = np.zeros((n_raw, 3), np.float32)
-        O = np.zeros((n_raw,), np.float32)
-        M = np.zeros((n_raw,), bool)
-        P[:K] = pts[:K]
-        O[:K] = offsets[:K]
-        M[:K] = True
-        t_prev = self.t_prev_end if self.t_prev_end is not None else t_begin
-        dt, gyr, acc, offt, valid, dt_ext = prop.pack_imu_intervals(
-            imu_t, imu_gyr, imu_acc, t_prev, t_begin, t_end, self.pp.n_imu
-        )
-        imu = prop.ImuBatch(
-            jnp.asarray(dt), jnp.asarray(gyr), jnp.asarray(acc),
-            jnp.asarray(offt), jnp.asarray(valid),
-        )
-        t_rel = t_end - (self._t0 if self._t0 is not None else t_begin)
-        return pl.ScanInputs(
-            pts=jnp.asarray(P), offsets=jnp.asarray(O), mask=jnp.asarray(M),
-            imu=imu, dt_ext=jnp.asarray(dt_ext, self.dtype),
-            t_end=jnp.asarray(t_rel, self.dtype),
-        )
 
     # ------------------------------------------------------------ process
 
