@@ -194,7 +194,9 @@ class TestVoxelMapPlanes:
         vm2, _ = voxelmap.evict(vm, jnp.float32(1000.0), PARAMS)
         assert int(hashmap.stats(vm2.keys).occupied) == occ0
         # once the window content is gone, stale voxels evict
-        vm_nowin = vm._replace(win_n=jnp.zeros_like(vm.win_n))
+        vm_nowin = vm._replace(
+            win=vm.win.at[:, :, voxelmap.CL_N].set(0.0)
+        )
         vm2, _ = voxelmap.evict(vm_nowin, jnp.float32(1000.0), PARAMS)
         assert int(hashmap.stats(vm2.keys).occupied) == 0
         vm3, _ = voxelmap.evict(vm, jnp.float32(100.0), PARAMS)

@@ -69,12 +69,14 @@ def harvest(
     map's physical ring column ((col0 + w) % W) so the factor columns
     come out in logical pose order regardless of the ring state."""
     add_n = scratch.add_n if isinstance(scratch, ScanScratch) else scratch
-    lam = vmap.eig
+    from ..map.voxelmap import CL_N, CL_P, CL_V, MT_EIG, MT_VALID
+
+    lam = vmap.meta[:, MT_EIG]
     ratio_ok = lam[:, 0] / jnp.maximum(lam[:, 1], 1e-12) <= 0.12
     cond = (
         (vmap.keys[:, 3] >= 0)
         & (vmap.state == 0)
-        & vmap.plane_valid
+        & (vmap.meta[:, MT_VALID] > 0.5)
         & (add_n > 0)
         & ratio_ok
     )
@@ -83,32 +85,34 @@ def harvest(
     ok = idx < C
     s = jnp.clip(idx, 0, C - 1)
 
+    dtype = vmap.win.dtype
     level = jnp.clip(vmap.keys[s, 3], 0)
     sizes = jnp.asarray(
-        [params.level_size(l) for l in range(params.max_layer + 1)],
-        vmap.win_P.dtype,
+        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
     )
-    center = (vmap.keys[s, :3].astype(vmap.win_P.dtype) + 0.5) * sizes[
-        level
-    ][:, None]
+    center = (vmap.keys[s, :3].astype(dtype) + 0.5) * sizes[level][:, None]
 
-    wP, wv, wn = vmap.win_P[s], vmap.win_v[s], vmap.win_n[s]
+    # ONE gather of the fused (W, 10) window rows + one of the fixed
+    # rows (gather op count bounds the step; see map/voxelmap.py)
+    wrow = vmap.win[s]  # (V, W, 10)
+    frow = vmap.fix[s]  # (V, 10)
     if col_perm is not None:
-        wP, wv, wn = wP[:, col_perm], wv[:, col_perm], wn[:, col_perm]
+        wrow = wrow[:, col_perm]
+    wn = wrow[:, :, CL_N]
     # ring-lap staleness: a column with win_n == 0 may hold stale
     # cluster rows (clear_window_col invalidates only the count);
     # zero them here so every factor consumer sees clean moments
     has = (wn > 0) & ok[:, None]
     return LidarFactors(
         valid=ok,
-        win_P=jnp.where(has[:, :, None], wP, 0.0),
-        win_v=jnp.where(has[:, :, None], wv, 0.0),
+        win_P=jnp.where(has[:, :, None], wrow[:, :, CL_P], 0.0),
+        win_v=jnp.where(has[:, :, None], wrow[:, :, CL_V], 0.0),
         win_n=jnp.where(has, wn, 0.0),
-        fix_P=jnp.where(ok[:, None], vmap.fix_P[s], 0.0),
-        fix_v=jnp.where(ok[:, None], vmap.fix_v[s], 0.0),
-        fix_n=jnp.where(ok, vmap.fix_n[s], 0.0),
+        fix_P=jnp.where(ok[:, None], frow[:, CL_P], 0.0),
+        fix_v=jnp.where(ok[:, None], frow[:, CL_V], 0.0),
+        fix_n=jnp.where(ok, frow[:, CL_N], 0.0),
         center=center,
-        coe=ok.astype(vmap.win_P.dtype),
+        coe=ok.astype(dtype),
         slot=jnp.where(ok, idx, -1),
     )
 

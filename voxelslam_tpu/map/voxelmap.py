@@ -67,32 +67,102 @@ class MapParams(NamedTuple):
         return self.voxel_size / (2.0**level)
 
 
+# ---- packed per-slot row layouts -----------------------------------
+# Gather/scatter op COUNT bounds the fused step on TPU (~40-500 us per
+# op regardless of width, scripts/probe_tunnel.py), so the per-slot
+# state is packed into few WIDE tables: every compacted stage gathers
+# one row and scatters one row instead of 8-10 narrow ones.
+
+# `win`/`fix` row lanes: [P packed-sym (6), v (3), n (1)]
+CL_P = slice(0, 6)
+CL_V = slice(6, 9)
+CL_N = 9
+CL_W = 10
+
+# `meta` row lanes
+MT_PN = slice(0, 3)  # plane normal
+MT_PC = slice(3, 6)  # plane center (voxel-center-relative)
+MT_VAR = slice(6, 42)  # 6x6 plane covariance, row-major
+MT_RAD = 42  # plane radius (λ2)
+MT_EIG = slice(43, 46)  # voxel covariance eigenvalues
+MT_LAST = 46  # N at last plane refresh
+MT_VALID = 47  # plane_valid as 0/1
+MT_W = 48
+
+
 class VoxelMap(NamedTuple):
-    """Persistent per-slot map state (everything a scan leaves behind)."""
+    """Persistent per-slot map state (everything a scan leaves behind).
+
+    Per-slot floating state is packed into wide rows (`win`, `fix`,
+    `meta`, layouts above); the original field names remain available
+    as read-only property views (static slices — free under XLA)."""
 
     keys: jnp.ndarray  # (C, 4) int32 (x, y, z, level); level -1 = empty
     state: jnp.ndarray  # (C,) int32: 0 leaf, 1 subdivided
-    fix_P: jnp.ndarray  # (C, 6) fixed moments, center-relative world
-    fix_v: jnp.ndarray  # (C, 3)
-    fix_n: jnp.ndarray  # (C,)
+    fix: jnp.ndarray  # (C, 10) fixed cluster moments, center-relative
+    #   world frame, capped at max_points (voxel_map.hpp:1249-1278)
     cov_add: jnp.ndarray  # (C, 45) Bf_var accumulation over every
     #   point ever pushed (window + fixed) — grow-only, exactly the
     #   reference's cov_add (voxel_map.hpp:941,990-992).  The 9x9 is
-    #   symmetric, stored packed upper-triangular (row-major i<=j) to
-    #   nearly halve the scatter width + HBM traffic of every push
-    # persistent per-window-slot BODY-frame clusters (incremental push;
-    #   the reference's SlideWindow pcrs_local, voxel_map.hpp:901)
-    win_P: jnp.ndarray  # (C, W, 6)
-    win_v: jnp.ndarray  # (C, W, 3)
-    win_n: jnp.ndarray  # (C, W)
-    plane_valid: jnp.ndarray  # (C,) bool
-    plane_n: jnp.ndarray  # (C, 3) unit normal
-    plane_c: jnp.ndarray  # (C, 3) plane center, relative to voxel center
-    plane_var: jnp.ndarray  # (C, 6, 6) cov of (normal, center)
-    plane_radius: jnp.ndarray  # (C,) λ2 of the voxel covariance
-    eig: jnp.ndarray  # (C, 3) eigenvalues of current voxel covariance
-    last_num: jnp.ndarray  # (C,) N at last plane refresh
+    #   symmetric, stored packed upper-triangular (row-major i<=j)
+    win: jnp.ndarray  # (C, W, 10) persistent per-window-slot
+    #   BODY-frame clusters (incremental push; the reference's
+    #   SlideWindow pcrs_local, voxel_map.hpp:901)
+    meta: jnp.ndarray  # (C, 48) plane fit + refresh bookkeeping
     jour: jnp.ndarray  # (C,) travel stamp at last touch
+
+    # ---- read-only views under the historical field names ----
+    @property
+    def fix_P(self):
+        return self.fix[:, CL_P]
+
+    @property
+    def fix_v(self):
+        return self.fix[:, CL_V]
+
+    @property
+    def fix_n(self):
+        return self.fix[:, CL_N]
+
+    @property
+    def win_P(self):
+        return self.win[:, :, CL_P]
+
+    @property
+    def win_v(self):
+        return self.win[:, :, CL_V]
+
+    @property
+    def win_n(self):
+        return self.win[:, :, CL_N]
+
+    @property
+    def plane_n(self):
+        return self.meta[:, MT_PN]
+
+    @property
+    def plane_c(self):
+        return self.meta[:, MT_PC]
+
+    @property
+    def plane_var(self):
+        return self.meta[:, MT_VAR].reshape(-1, 6, 6)
+
+    @property
+    def plane_radius(self):
+        return self.meta[:, MT_RAD]
+
+    @property
+    def eig(self):
+        return self.meta[:, MT_EIG]
+
+    @property
+    def last_num(self):
+        return self.meta[:, MT_LAST]
+
+    @property
+    def plane_valid(self):
+        return self.meta[:, MT_VALID] > 0.5
 
 
 class ScanScratch(NamedTuple):
@@ -109,20 +179,10 @@ def empty(params: MapParams, win_size: int, dtype=jnp.float32) -> VoxelMap:
     return VoxelMap(
         keys=hashmap.empty_keys(C),
         state=jnp.zeros((C,), jnp.int32),
-        fix_P=jnp.zeros((C, 6), dtype),
-        fix_v=jnp.zeros((C, 3), dtype),
-        fix_n=jnp.zeros((C,), dtype),
+        fix=jnp.zeros((C, CL_W), dtype),
         cov_add=jnp.zeros((C, 45), dtype),
-        win_P=jnp.zeros((C, win_size, 6), dtype),
-        win_v=jnp.zeros((C, win_size, 3), dtype),
-        win_n=jnp.zeros((C, win_size), dtype),
-        plane_valid=jnp.zeros((C,), bool),
-        plane_n=jnp.zeros((C, 3), dtype),
-        plane_c=jnp.zeros((C, 3), dtype),
-        plane_var=jnp.zeros((C, 6, 6), dtype),
-        plane_radius=jnp.zeros((C,), dtype),
-        eig=jnp.zeros((C, 3), dtype),
-        last_num=jnp.zeros((C,), dtype),
+        win=jnp.zeros((C, win_size, CL_W), dtype),
+        meta=jnp.zeros((C, MT_W), dtype),
         jour=jnp.zeros((C,), dtype),
     )
 
@@ -302,17 +362,12 @@ def scatter(
     ones = jnp.ones((K,), dtype)
 
     obody = cluster.point_outer_packed(body)
-    # (slot, window)-sorted segmented sums -> unique-index scatters
-    # (ops/segsum.py: the TPU-fast path replacing duplicate scatters)
-    win_P = segsum.sorted_segment_add(
-        jnp.zeros((C * W, 6), dtype), wsel_s, obody
-    ).reshape(C, W, 6)
-    win_v = segsum.sorted_segment_add(
-        jnp.zeros((C * W, 3), dtype), wsel_s, body
-    ).reshape(C, W, 3)
-    win_n = segsum.sorted_segment_add(
-        jnp.zeros((C * W,), dtype), wsel_s, ones
-    ).reshape(C, W)
+    # (slot, window)-sorted segmented sum — ONE fused (P, v, n) row
+    # per point into the packed win table (ops/segsum.py)
+    vals = jnp.concatenate([obody, body, ones[:, None]], axis=-1)
+    win = segsum.sorted_segment_add(
+        jnp.zeros((C * W, CL_W), dtype), wsel_s, vals
+    ).reshape(C, W, CL_W)
 
     # moment-noise accumulation (Bf_var) for the plane covariance.
     # Grow-only like the reference's cov_add; a full rebuild on a live
@@ -322,8 +377,7 @@ def scatter(
     cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
 
     vmap = vmap._replace(
-        keys=keys, jour=jour_arr, cov_add=cov_add,
-        win_P=win_P, win_v=win_v, win_n=win_n,
+        keys=keys, jour=jour_arr, cov_add=cov_add, win=win,
     )
     scratch = window_sums(vmap, R, p, params)
     slot_pt = jnp.where(ok, slot, C).reshape(W, N)
@@ -374,17 +428,13 @@ def push_scan(
 
     wdst = jnp.where(slot_s < C, slot_s * W + col, C * W)
     obody = cluster.point_outer_packed(body)
+    vals = jnp.concatenate([obody, body, ones[:, None]], axis=-1)
     # destination rows may hold STALE clusters from a previous ring
     # lap (clear_window_col only invalidates win_n): scatter zeros
     # first — duplicate indices all write the same value, so the
-    # write is order-independent
-    base_P = vmap.win_P.reshape(C * W, 6).at[wdst].set(0.0, mode="drop")
-    base_v = vmap.win_v.reshape(C * W, 3).at[wdst].set(0.0, mode="drop")
-    win_P = segsum.sorted_segment_add(base_P, wdst, obody).reshape(C, W, 6)
-    win_v = segsum.sorted_segment_add(base_v, wdst, body).reshape(C, W, 3)
-    win_n = segsum.sorted_segment_add(
-        vmap.win_n.reshape(C * W), wdst, ones
-    ).reshape(C, W)
+    # write is order-independent.  One fused (P, v, n) row per point.
+    base = vmap.win.reshape(C * W, CL_W).at[wdst].set(0.0, mode="drop")
+    win = segsum.sorted_segment_add(base, wdst, vals).reshape(C, W, CL_W)
 
     bcov = _bf_var(rel_s, var_w[order])
     cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
@@ -395,8 +445,7 @@ def push_scan(
 
     return (
         vmap._replace(
-            keys=keys, jour=jour_arr, cov_add=cov_add,
-            win_P=win_P, win_v=win_v, win_n=win_n,
+            keys=keys, jour=jour_arr, cov_add=cov_add, win=win,
         ),
         overflow,
         touched,
@@ -475,23 +524,19 @@ def reroute_subdivided(
     rel_s = rel[order]
     slot_s = jnp.where(wdst_s < C * W, wdst_s // W, C)
 
-    winP = vmap.win_P.reshape(C * W, 6)
-    winv = vmap.win_v.reshape(C * W, 3)
-    winn = vmap.win_n.reshape(C * W)
+    winf = vmap.win.reshape(C * W, CL_W)
     # a destination row with win_n == 0 may hold a stale cluster from
     # a previous ring lap — zero those rows before accumulating (live
     # rows accumulate on top, exactly like a second scan's push)
-    stale = winn[jnp.clip(wdst_s, 0, C * W - 1)] == 0
+    stale = winf[jnp.clip(wdst_s, 0, C * W - 1), CL_N] == 0
     zdst = jnp.where(stale, wdst_s, C * W)
-    winP = winP.at[zdst].set(0.0, mode="drop")
-    winv = winv.at[zdst].set(0.0, mode="drop")
+    winf = winf.at[zdst].set(0.0, mode="drop")
 
     obody = cluster.point_outer_packed(body_s)
-    winP = segsum.sorted_segment_add(winP, wdst_s, obody).reshape(C, W, 6)
-    winv = segsum.sorted_segment_add(winv, wdst_s, body_s).reshape(C, W, 3)
-    winn = segsum.sorted_segment_add(
-        winn, wdst_s, jnp.ones((K,), dtype)
-    ).reshape(C, W)
+    vals = jnp.concatenate(
+        [obody, body_s, jnp.ones((K, 1), dtype)], axis=-1
+    )
+    win = segsum.sorted_segment_add(winf, wdst_s, vals).reshape(C, W, CL_W)
 
     bcov = _bf_var(rel_s, var[order])
     cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
@@ -503,8 +548,7 @@ def reroute_subdivided(
     n_left = jnp.sum(need) - jnp.sum(ok)
     return (
         vmap._replace(
-            keys=keys, jour=jour_arr, cov_add=cov_add,
-            win_P=winP, win_v=winv, win_n=winn,
+            keys=keys, jour=jour_arr, cov_add=cov_add, win=win,
         ),
         flat_slot.reshape(W, N),
         child_touch,
@@ -555,11 +599,13 @@ def marginalize_column(
     change (≤ one scan's voxel count), so gather → transform →
     scatter-add instead of a full-capacity transform pass."""
     C = params.capacity
-    dtype = vmap.fix_P.dtype
+    dtype = vmap.fix.dtype
     A = params.max_active if size is None else size
-    cn_full = jnp.take_along_axis(
-        vmap.win_n, jnp.full((C, 1), col, jnp.int32), axis=1
-    )[:, 0]
+    # contiguous dynamic slice of ONE window column — not a gather
+    colrow = jax.lax.dynamic_slice(
+        vmap.win, (0, col, 0), (C, 1, CL_W)
+    )[:, 0]  # (C, 10)
+    cn_full = colrow[:, CL_N]
     (aidx,) = jnp.nonzero(cn_full > 0, size=A, fill_value=C)
     aok = aidx < C
     s_ = jnp.clip(aidx, 0, C - 1)
@@ -569,39 +615,33 @@ def marginalize_column(
     )
     lvl = jnp.clip(vmap.keys[s_, 3], 0)
     centers = (vmap.keys[s_, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
-    cP = vmap.win_P[s_, col]
-    cv = vmap.win_v[s_, col]
-    cn = cn_full[s_]
+    crow = colrow[s_]  # ONE gather of the fused (P, v, n) rows
+    cn = crow[:, CL_N]
     t = p[None, :] - centers  # (A, 3)
-    wld = cluster.transform(Cluster(cP, cv, cn), R[None], t)
+    wld = cluster.transform(Cluster(crow[:, CL_P], crow[:, CL_V], cn),
+                            R[None], t)
     # subdivided parents hold stale/partial window rows (their points
     # were re-routed to children, which fold their own copies) — skip
     gate = (
-        aok & (vmap.fix_n[s_] < params.max_points) & (cn > 0)
+        aok & (vmap.fix[s_, CL_N] < params.max_points) & (cn > 0)
         & (vmap.state[s_] == 0)
     )
     dst = jnp.where(gate, aidx, C)
     # compacted nonzero indices are unique and ascending; the gate
-    # only interleaves the drop sentinel, so no sorted/unique promises
-    fix_P = vmap.fix_P.at[dst].add(wld.P, mode="drop")
-    fix_v = vmap.fix_v.at[dst].add(wld.v, mode="drop")
-    fix_n = vmap.fix_n.at[dst].add(cn, mode="drop")
-    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n)
+    # only interleaves the drop sentinel, so no sorted/unique promises.
+    # ONE fused row scatter-add into the fixed table.
+    add = jnp.concatenate([wld.P, wld.v, cn[:, None]], axis=-1)
+    fix = vmap.fix.at[dst].add(add, mode="drop")
+    return vmap._replace(fix=fix)
 
 
 def slide_window_cols(vmap: VoxelMap) -> VoxelMap:
     """Drop the oldest window column (shift left, zero the last) —
     used by the full-rebuild paths where columns are in logical order."""
-    def roll(a):
-        return jnp.concatenate(
-            [a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1
-        )
-
-    return vmap._replace(
-        win_P=roll(vmap.win_P),
-        win_v=roll(vmap.win_v),
-        win_n=roll(vmap.win_n),
+    win = jnp.concatenate(
+        [vmap.win[:, 1:], jnp.zeros_like(vmap.win[:, :1])], axis=1
     )
+    return vmap._replace(win=win)
 
 
 def clear_window_col(vmap: VoxelMap, col: jnp.ndarray) -> VoxelMap:
@@ -609,15 +649,18 @@ def clear_window_col(vmap: VoxelMap, col: jnp.ndarray) -> VoxelMap:
     steady hot path (the reference's mp[] ring-index rotation,
     voxelslam.cpp:1689-1693).
 
-    Only win_n is zeroed (a cheap (C, W) mask multiply); the stale
-    win_P/win_v rows stay and are IGNORED by every consumer (all mask
-    by win_n > 0) until the next `push_scan` into this column
-    overwrites them in place (it scatters zeros to its destination
-    rows before accumulating).  This keeps the per-scan slide cost at
-    ~5 MB instead of rewriting the ~50 MB cluster arrays."""
-    W = vmap.win_n.shape[1]
-    keep = (jnp.arange(W, dtype=jnp.int32) != col).astype(vmap.win_n.dtype)
-    return vmap._replace(win_n=vmap.win_n * keep[None, :])
+    Only the count lane is zeroed (one fused elementwise pass over the
+    win table); the stale P/v lanes stay and are IGNORED by every
+    consumer (all mask by win_n > 0) until the next `push_scan` into
+    this column overwrites them in place (it scatters zeros to its
+    destination rows before accumulating)."""
+    W = vmap.win.shape[1]
+    notcol = (jnp.arange(W, dtype=jnp.int32) != col)
+    lane_n = jnp.arange(CL_W) == CL_N
+    keep = jnp.where(
+        notcol[:, None] | ~lane_n[None, :], 1.0, 0.0
+    ).astype(vmap.win.dtype)
+    return vmap._replace(win=vmap.win * keep[None])
 
 
 # ------------------------------------------------------------------ planes
@@ -715,28 +758,34 @@ def _refit_at(vmap: VoxelMap, aidx: jnp.ndarray, aok: jnp.ndarray,
 
     u0, center, pvar, radius = _plane_params(P, v, n, cov9, w, V)
 
-    # scatter the compacted results back (unique sorted indices)
-    dst = jnp.where(aok, aidx, C)
-
-    def put(buf, vals, sel):
-        # no sorted/unique promises: the where() masking interleaves
-        # the drop sentinel, which breaks index monotonicity (a TPU
-        # lowering would silently mis-scatter if the flags lied)
-        d = jnp.where(sel, dst, C)
-        return buf.at[d].set(vals, mode="drop")
-
-    vmap = vmap._replace(
-        state=put(vmap.state, jnp.ones((A,), vmap.state.dtype), subdivide),
-        plane_valid=put(
-            vmap.plane_valid, is_plane & ~subdivide, active | subdivide
-        ),
-        plane_n=put(vmap.plane_n, u0, plane_ok),
-        plane_c=put(vmap.plane_c, center, plane_ok),
-        plane_var=put(vmap.plane_var, pvar, plane_ok),
-        plane_radius=put(vmap.plane_radius, radius, plane_ok),
-        eig=put(vmap.eig, w, active),
-        last_num=put(vmap.last_num, n, active),
+    # ONE gather of the old meta rows + ONE row scatter-back: per
+    # lane, new values apply under their own condition; rows outside
+    # `active` (note: subdivide ⊆ active) keep their old content (the
+    # write condition drops them)
+    old = vmap.meta[s_]  # (A, 48)
+    pk = plane_ok[:, None]
+    meta_rows = jnp.concatenate(
+        [
+            jnp.where(pk, u0, old[:, MT_PN]),
+            jnp.where(pk, center, old[:, MT_PC]),
+            jnp.where(pk, pvar.reshape(A, 36), old[:, MT_VAR]),
+            jnp.where(plane_ok, radius, old[:, MT_RAD])[:, None],
+            w,
+            n[:, None],
+            (is_plane & ~subdivide).astype(dtype)[:, None],
+        ],
+        axis=-1,
     )
+    # no sorted/unique promises: the where() masking interleaves the
+    # drop sentinel, which breaks index monotonicity (a TPU lowering
+    # would silently mis-scatter if the flags lied)
+    d_meta = jnp.where(active, jnp.where(aok, aidx, C), C)
+    meta = vmap.meta.at[d_meta].set(meta_rows, mode="drop")
+    d_state = jnp.where(subdivide, jnp.where(aok, aidx, C), C)
+    state = vmap.state.at[d_state].set(
+        jnp.ones((A,), vmap.state.dtype), mode="drop"
+    )
+    vmap = vmap._replace(state=state, meta=meta)
     return vmap, jnp.sum(subdivide)
 
 
@@ -760,9 +809,10 @@ def recut(vmap: VoxelMap, scratch: ScanScratch, params: MapParams,
     (aidx,) = jnp.nonzero(touched, size=A, fill_value=C)
     aok = aidx < C
     s_ = jnp.clip(aidx, 0, C - 1)
-    P = vmap.fix_P[s_] + scratch.add_P[s_]
-    v = vmap.fix_v[s_] + scratch.add_v[s_]
-    n = vmap.fix_n[s_] + scratch.add_n[s_]
+    fx = vmap.fix[s_]  # one fused (P, v, n) row gather
+    P = fx[:, CL_P] + scratch.add_P[s_]
+    v = fx[:, CL_V] + scratch.add_v[s_]
+    n = fx[:, CL_N] + scratch.add_n[s_]
     return _refit_at(vmap, aidx, aok, P, v, n, params)
 
 
@@ -777,15 +827,15 @@ def recut_touched(vmap: VoxelMap, R: jnp.ndarray, p: jnp.ndarray,
     per-slot window point count (win_n row sum) for factor harvest."""
     C = vmap.keys.shape[0]
     dtype = vmap.win_P.dtype
-    add_n = jnp.sum(vmap.win_n, axis=1)
+    add_n = jnp.sum(vmap.win[:, :, CL_N], axis=1)
     occupied = vmap.keys[:, 3] >= 0
     leaf = occupied & (vmap.state == 0)
     # growth gate (reference plane_update, voxel_map.hpp:1118-1146):
     # refit only voxels that gained >= refit_growth points since their
     # last refit — fresh voxels (last_num == 0) pass once they clear
     # the min_point gate inside _refit_at
-    n_tot = vmap.fix_n + add_n
-    grown = (n_tot - vmap.last_num) >= params.refit_growth
+    n_tot = vmap.fix[:, CL_N] + add_n
+    grown = (n_tot - vmap.meta[:, MT_LAST]) >= params.refit_growth
     touched = leaf & (add_n > 0) & touch & grown
     (aidx,) = jnp.nonzero(touched, size=size, fill_value=C)
     aok = aidx < C
@@ -797,12 +847,15 @@ def recut_touched(vmap: VoxelMap, R: jnp.ndarray, p: jnp.ndarray,
     lvl = jnp.clip(vmap.keys[s_, 3], 0)
     centers = (vmap.keys[s_, :3].astype(dtype) + 0.5) * sizes[lvl][:, None]
     t = p[None, :, :] - centers[:, None, :]  # (A, W, 3)
-    win = Cluster(vmap.win_P[s_], vmap.win_v[s_], vmap.win_n[s_])
+    wrows = vmap.win[s_]  # ONE gather of the (W, 10) cluster rows
+    wn = wrows[:, :, CL_N]
+    win = Cluster(wrows[:, :, CL_P], wrows[:, :, CL_V], wn)
     wld = cluster.transform(win, R[None], t)  # (A, W, ...)
-    has = (vmap.win_n[s_] > 0)[..., None]
-    P = vmap.fix_P[s_] + jnp.sum(jnp.where(has, wld.P, 0.0), axis=1)
-    v = vmap.fix_v[s_] + jnp.sum(jnp.where(has, wld.v, 0.0), axis=1)
-    n = vmap.fix_n[s_] + add_n[s_]
+    has = (wn > 0)[..., None]
+    fx = vmap.fix[s_]
+    P = fx[:, CL_P] + jnp.sum(jnp.where(has, wld.P, 0.0), axis=1)
+    v = fx[:, CL_V] + jnp.sum(jnp.where(has, wld.v, 0.0), axis=1)
+    n = fx[:, CL_N] + add_n[s_]
     vmap, n_subdiv = _refit_at(vmap, aidx, aok, P, v, n, params)
     return vmap, n_subdiv, add_n
 
@@ -838,7 +891,8 @@ def match(
     coord, lvl, slot = assign(vmap, pts_w, valid, params)
     found = valid & (slot >= 0)
     s = jnp.clip(slot, 0)
-    pl_ok = found & vmap.plane_valid[s]
+    mrow = vmap.meta[s]  # ONE gather of the fused plane rows
+    pl_ok = found & (mrow[:, MT_VALID] > 0.5)
 
     dtype = pts_w.dtype
     sizes = jnp.asarray(
@@ -846,14 +900,14 @@ def match(
     )
     vox_center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
     rel = pts_w - vox_center
-    nrm = vmap.plane_n[s]
-    ctr = vmap.plane_c[s]
+    nrm = mrow[:, MT_PN]
+    ctr = mrow[:, MT_PC]
     d = jnp.sum(nrm * (rel - ctr), axis=-1)
     dc2 = jnp.sum((rel - ctr) ** 2, axis=-1)
-    range_ok = (dc2 - d * d) <= 9.0 * vmap.plane_radius[s]
+    range_ok = (dc2 - d * d) <= 9.0 * mrow[:, MT_RAD]
 
     J = jnp.concatenate([rel - ctr, -nrm], axis=-1)  # (K, 6)
-    pvar = vmap.plane_var[s]
+    pvar = mrow[:, MT_VAR].reshape(-1, 6, 6)
     sigma = jnp.einsum("ki,kij,kj->k", J, pvar, J)
     sigma = sigma + jnp.einsum("ki,kij,kj->k", nrm, var_w, nrm)
     sigma = jnp.maximum(sigma, 1e-12)
@@ -900,7 +954,7 @@ def marginalize(
     ok = valid & (slot >= 0)
     s = jnp.clip(slot, 0)
     # cap gate evaluated on pre-marginalization counts
-    ok = ok & (vmap.fix_n[s] < params.max_points)
+    ok = ok & (vmap.fix[s, CL_N] < params.max_points)
     slot_safe = jnp.where(ok, slot, C)
 
     sizes = jnp.asarray(
@@ -912,11 +966,10 @@ def marginalize(
     slot_s = slot_safe[order]
     rel_s = rel[order]
     orel = cluster.point_outer_packed(rel_s)
-    fix_P = segsum.sorted_segment_add(vmap.fix_P, slot_s, orel)
-    fix_v = segsum.sorted_segment_add(vmap.fix_v, slot_s, rel_s)
-    fix_n = segsum.sorted_segment_add(
-        vmap.fix_n, slot_s, jnp.ones_like(rel_s[:, 0])
+    vals = jnp.concatenate(
+        [orel, rel_s, jnp.ones_like(rel_s[:, :1])], axis=-1
     )
+    fix = segsum.sorted_segment_add(vmap.fix, slot_s, vals)
     # points marginalized out of the sliding window already added
     # their Bf_var at push time (accumulate_cov=False); fresh fixed
     # insertions (keyframe reload, map rebuild) have not
@@ -924,7 +977,7 @@ def marginalize(
         bcov = _bf_var(rel_s, var_w[order])
         cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
         vmap = vmap._replace(cov_add=cov_add)
-    return vmap._replace(fix_P=fix_P, fix_v=fix_v, fix_n=fix_n)
+    return vmap._replace(fix=fix)
 
 
 # ------------------------------------------------------------------ evict
@@ -952,7 +1005,7 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
     occupied = vmap.keys[:, 3] >= 0
     keep = occupied & (
         (jour_now - vmap.jour < evict_dist)
-        | (jnp.sum(vmap.win_n, axis=1) > 0)
+        | (jnp.sum(vmap.win[:, :, CL_N], axis=1) > 0)
     )
 
     fresh = hashmap.empty_keys(C)
@@ -973,20 +1026,10 @@ def evict(vmap: VoxelMap, jour_now: jnp.ndarray, params: MapParams,
     return VoxelMap(
         keys=keys,
         state=move(vmap.state),
-        fix_P=move(vmap.fix_P),
-        fix_v=move(vmap.fix_v),
-        fix_n=move(vmap.fix_n),
+        fix=move(vmap.fix),
         cov_add=move(vmap.cov_add),
-        win_P=move(vmap.win_P),
-        win_v=move(vmap.win_v),
-        win_n=move(vmap.win_n),
-        plane_valid=move(vmap.plane_valid, False),
-        plane_n=move(vmap.plane_n),
-        plane_c=move(vmap.plane_c),
-        plane_var=move(vmap.plane_var),
-        plane_radius=move(vmap.plane_radius),
-        eig=move(vmap.eig),
-        last_num=move(vmap.last_num),
+        win=move(vmap.win),
+        meta=move(vmap.meta),
         jour=move(vmap.jour),
     ), dstmap
 

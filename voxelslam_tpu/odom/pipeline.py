@@ -710,14 +710,27 @@ def _recut_fixed(vmap: VoxelMap, scratch, pp: PipelineParams) -> VoxelMap:
         vmap.fix_P, vmap.fix_v, vmap.fix_n, vmap.cov_add, w, V
     )
     sel = plane_ok[:, None]
-    return vmap._replace(
-        plane_valid=jnp.where(active, is_plane, vmap.plane_valid),
-        plane_n=jnp.where(sel, u0, vmap.plane_n),
-        plane_c=jnp.where(sel, center, vmap.plane_c),
-        plane_var=jnp.where(plane_ok[:, None, None], pvar, vmap.plane_var),
-        plane_radius=jnp.where(plane_ok, radius, vmap.plane_radius),
-        eig=jnp.where(active[:, None], w, vmap.eig),
+    C = vmap.meta.shape[0]
+    from ..map.voxelmap import MT_EIG, MT_PC, MT_PN, MT_RAD, MT_VALID, MT_VAR
+
+    meta = vmap.meta
+    meta = meta.at[:, MT_PN].set(jnp.where(sel, u0, meta[:, MT_PN]))
+    meta = meta.at[:, MT_PC].set(jnp.where(sel, center, meta[:, MT_PC]))
+    meta = meta.at[:, MT_VAR].set(
+        jnp.where(sel, pvar.reshape(C, 36), meta[:, MT_VAR])
     )
+    meta = meta.at[:, MT_RAD].set(
+        jnp.where(plane_ok, radius, meta[:, MT_RAD])
+    )
+    meta = meta.at[:, MT_EIG].set(
+        jnp.where(active[:, None], w, meta[:, MT_EIG])
+    )
+    meta = meta.at[:, MT_VALID].set(
+        jnp.where(active, is_plane, meta[:, MT_VALID] > 0.5).astype(
+            meta.dtype
+        )
+    )
+    return vmap._replace(meta=meta)
 
 
 @partial(jax.jit, static_argnames=("pp",))
