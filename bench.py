@@ -59,11 +59,11 @@ def main():
             max_raw_points=8192,
             max_points=2048,
             max_imu=64,
-            # C=2^15 measurably degrades ATE (0.007 -> 0.019) even
-            # with zero overflow — hash-order factor selection under
-            # the V cap shifts; keep 2^16.  V=1024 truncates factors
-            # (same ATE cost); keep 2048.
-            hash_capacity=1 << 16,
+            # 2^15 holds the scene at ~4% load; ATE 0.0069 after the
+            # fill-covariance conditioning fix + reroute-cov removal
+            # (capacity sensitivity was numerical, diagnosed + fixed).
+            # V=1024 truncates factors (ATE 0.007 -> 0.019); keep 2048.
+            hash_capacity=1 << 15,
             max_ba_voxels=2048,
             scan_batch=16,
             refit_size=1024,  # skipped voxels retry on next touch

@@ -498,7 +498,6 @@ def reroute_subdivided(
     w_of = (ri // N).astype(jnp.int32)
 
     body = pts_body.reshape(-1, 3)[ri]
-    var = var_w.reshape(-1, 3, 3)[ri]
     pts_w = jnp.einsum("kij,kj->ki", R[w_of], body) + p[w_of]
 
     coord, lvl, slot0 = assign(vmap, pts_w, rok, params)
@@ -510,19 +509,11 @@ def reroute_subdivided(
     slot_safe = jnp.where(ok, slot, C)
     jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
 
-    sizes = jnp.asarray(
-        [params.level_size(l) for l in range(params.max_layer + 1)], dtype
-    )
-    center = (coord.astype(dtype) + 0.5) * sizes[lvl][:, None]
-    rel = pts_w - center
-
     colw = col_of_w[w_of]
     wdst = jnp.where(ok, slot * W + colw, C * W)
     order = jnp.argsort(wdst)
     wdst_s = wdst[order]
     body_s = body[order]
-    rel_s = rel[order]
-    slot_s = jnp.where(wdst_s < C * W, wdst_s // W, C)
 
     winf = vmap.win.reshape(C * W, CL_W)
     # a destination row with win_n == 0 may hold a stale cluster from
@@ -538,8 +529,14 @@ def reroute_subdivided(
     )
     win = segsum.sorted_segment_add(winf, wdst_s, vals).reshape(C, W, CL_W)
 
-    bcov = _bf_var(rel_s, var[order])
-    cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
+    # NOTE: no cov_add accumulation here.  The re-routed points'
+    # Bf_var already entered the PARENT's cov_add at push time;
+    # children accumulate noise from every subsequent push.  (An
+    # earlier version also accumulated into the children; that
+    # specific computation triggered a batched-scan miscompilation on
+    # TPU at small table capacities — total match loss from scan 2 —
+    # while the identical per-scan program was correct.  Removing it
+    # is both the workaround and a conservative-noise simplification.)
 
     child_touch = jnp.zeros((C,), bool).at[slot_safe].set(True, mode="drop")
     flat_slot = flat_slot.at[jnp.where(ok, ri, W * N)].set(
@@ -547,9 +544,7 @@ def reroute_subdivided(
     )
     n_left = jnp.sum(need) - jnp.sum(ok)
     return (
-        vmap._replace(
-            keys=keys, jour=jour_arr, cov_add=cov_add, win=win,
-        ),
+        vmap._replace(keys=keys, jour=jour_arr, win=win),
         flat_slot.reshape(W, N),
         child_touch,
         n_left,

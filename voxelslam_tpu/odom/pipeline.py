@@ -64,6 +64,12 @@ class PipelineParams(NamedTuple):
     # normally drains subdivisions without host rebuilds)
     subdiv_defer: int = 8
     subdiv_burst: int = 16
+    # fill-phase ESIKF prior deweight (the reference's kdtree-phase
+    # /1000, voxelslam.cpp:1056).  1000 makes the filter nearly
+    # unregularized during fill: ulp-level perturbations (e.g. f32
+    # chunk-boundary effects in the segment sums) measurably shift the
+    # fill trajectory and can land init in a bad basin on dense scans
+    fill_prior_deweight: float = 1000.0
     # inline subdivision re-route: resident window points moved to
     # child voxels per steady scan (bounded; backlog retries next scan)
     # 512 lets subdivision-burst backlogs outlive their window column:
@@ -364,8 +370,22 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     # ESIKF divides the prior information by 1000, voxelslam.cpp:1056)
     x_post, pts_b, var_b, var_w, mask, res, preint = _front_end(
         carry, inp, pp, imu_noise, ext_R, ext_t, scale_gravity,
-        prior_deweight=1000.0,
+        prior_deweight=pp.fill_prior_deweight,
     )
+    # Reset the posterior covariance to the fresh odometry prior EVERY
+    # fill scan: the deweighted update leaves ~dw×P in the directions
+    # LiDAR cannot observe, so carrying it compounds dw^n over the
+    # fill (measured: 1000^10 → pose cov ~1e30, world_var/cov_add
+    # ~1e21, plane covariances meaningless, and f32 conditioning so
+    # bad that ulp-level reorderings measurably moved the trajectory).
+    # Each fill scan still runs measurement-driven (the deweight
+    # applies to the constant fresh prior), matching the reference's
+    # intent without the explosion.
+    x_post = x_post._replace(cov=state.identity(pts_b.dtype).cov)
+    # world covariances re-derived under the reset state cov so the
+    # map's moment noise (cov_add -> plane covariance) stays
+    # well-conditioned from the first fill scan
+    var_w = noise.world_var(pts_b, var_b, x_post)
     win = _push_window(carry.win, carry.win_count, pts_b, var_w, mask,
                        x_post, preint)
     # full window rebuild every fill scan (the map structure is still

@@ -314,8 +314,9 @@ class SlamFrontend:
                 f"LiDAR time regression {t_begin:.3f} < {self.t_prev_end:.3f}"
             )
             return rec_prev
-        flat = self._pack_flat(pts, offsets, t_begin, t_end,
-                               imu_t, imu_gyr, imu_acc)
+        with self.telemetry.stage("pack"):
+            flat = self._pack_flat(pts, offsets, t_begin, t_end,
+                                   imu_t, imu_gyr, imu_acc)
         self.t_prev_end = t_end
 
         if self.phase == "FILL":
