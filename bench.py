@@ -84,7 +84,9 @@ def main():
     sb = cfg.shapes.scan_batch
     # 1 IMU-init scan + win_size fill scans, then whole batches
     warm = cfg.local_ba.win_size + 1 + 2 * sb
-    timed_n = ((24 + sb - 1) // sb) * sb
+    # >=4 timed batches: the final flush drains a whole batch
+    # serially (~0.3 s), so short windows understate steady rate
+    timed_n = ((56 + sb - 1) // sb) * sb
     n_scans = warm + timed_n
     # dataset generation takes ~7 min on the 1-core host: cache it on
     # disk keyed by the generation parameters (scan count, rays, seed)
