@@ -66,7 +66,9 @@ def main():
             hash_capacity=1 << 15,
             max_ba_voxels=2048,
             scan_batch=16,
-            refit_size=1024,  # skipped voxels retry on next touch
+            # ATE-neutral under the refit growth gate (pipeline.py
+            # refit_size note); skipped voxels retry on next touch
+            refit_size=1024,
         ),
     )
 

@@ -280,11 +280,22 @@ class GlobalMapper:
             per_sess: dict = {}
             for sm in subs:
                 per_sess.setdefault(sm["scan"][0], []).append(sm)
+            # largest-remainder apportionment so the per-session shares
+            # sum to EXACTLY max_submaps (independent round() could
+            # overshoot and the [:max_submaps] cut would silently drop
+            # the last session's tail buckets)
+            groups = list(per_sess.values())
+            quota = [max_submaps * len(g) / len(subs) for g in groups]
+            share_l = [max(int(q), 1) for q in quota]
+            while sum(share_l) > max_submaps and max(share_l) > 1:
+                share_l[int(np.argmax(share_l))] -= 1
+            rema = [q - s for q, s in zip(quota, share_l)]
+            while sum(share_l) < max_submaps:
+                k = int(np.argmax(rema))
+                share_l[k] += 1
+                rema[k] = -1.0
             merged = []
-            for sess_subs in per_sess.values():
-                share = max(
-                    int(round(max_submaps * len(sess_subs) / len(subs))), 1
-                )
+            for sess_subs, share in zip(groups, share_l):
                 bounds = np.linspace(
                     0, len(sess_subs), min(share, len(sess_subs)) + 1
                 ).astype(int)

@@ -257,6 +257,14 @@ def parse_pointcloud2(data: bytes) -> tuple[float, np.ndarray]:
         {"names": names, "formats": formats, "offsets": offsets,
          "itemsize": point_step}
     )
+    if height > 1 and row_step != width * point_step:
+        # organized cloud with per-row padding: de-pad row by row
+        # before the flat frombuffer (itemsize=point_step would
+        # otherwise stride into the padding and yield garbage points)
+        raw = np.frombuffer(data, np.uint8, height * row_step, o)
+        raw = raw.reshape(height, row_step)[:, : width * point_step]
+        arr = np.frombuffer(raw.tobytes(), dtype, height * width)
+        return t, arr.copy()
     n = min(height * width, dlen // point_step)
     arr = np.frombuffer(data, dtype, n, o)
     return t, arr.copy()

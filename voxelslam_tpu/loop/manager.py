@@ -103,6 +103,11 @@ class LoopManager:
         self.n_optimizations = 0
         self._since_opt = 10**9  # accepted loops since last optimization
         self._merged_sessions = set()  # session pairs already linked
+        # per-linked-pair travel stamp: current-session jour at the
+        # last ACCEPTED link — re-links are gated by
+        # drift / travel-since-link < ratio_drift (the reference's
+        # jours[id] bookkeeping, voxelslam.cpp:2043-2054)
+        self._link_jour: dict = {}
         self.g_update_pending = False  # cross-session merge -> gravity
         #                                refresh in the window BA
 
@@ -141,9 +146,20 @@ class LoopManager:
         sp["scan_idx"] = len(sess)
         # cumulative travel (jour) for drift/span policies
         if sess:
-            sp["jour"] = sess[-1]["jour"] + float(
-                np.linalg.norm(sp["p"] - sess[-1]["p"])
+            prev = sess[-1]
+            sp["jour"] = prev["jour"] + float(
+                np.linalg.norm(sp["p"] - prev["p"])
             )
+            # sequential between-measurement captured ONCE at arrival
+            # time (the reference adds each BetweenFactor exactly once
+            # with the odometry measurement, voxelslam.cpp:1915-1917,
+            # and ISAM2 retains it across solves, 2090-2098).  Graph
+            # assembly must use THIS, never the current (possibly
+            # PGO-corrected) poses — regenerating measurements from a
+            # bent chain makes every past correction zero-residual
+            # "truth" and destroys the odometry information.
+            sp["odom_Rm"] = prev["R"].T @ sp["R"]
+            sp["odom_tm"] = prev["R"].T @ (sp["p"] - prev["p"])
         else:
             sp["jour"] = 0.0
         sess.append(sp)
@@ -209,18 +225,22 @@ class LoopManager:
         )
         self.db.add(desc, planes, kf.id, session_id=kf.session)
 
-        # ICP-verify candidates in descending score order until one
-        # accepts — the reference tries every candidate above its
-        # per-session threshold (voxelslam.cpp:1987-1999), not just the
-        # argmax, so near-miss top scores don't drop real loops.
+        # ICP-verify candidates in descending score order, accepting
+        # AT MOST ONE PER TARGET SESSION — the reference runs
+        # SearchLoop per session and can push one edge per session for
+        # the same keyframe (voxelslam.cpp:1987-2069), so a
+        # same-session accept never shadows a simultaneous
+        # cross-session link (relocalization exactly when maps overlap).
         frames = np.asarray(cands.frame)
-        res = None
-        tgt = None
+        accepted = []  # (IcpResult, target Keyframe)
+        done_sessions = set()
         for ci in range(frames.shape[0]):
             frame = int(frames[ci])
             if frame < 0:
                 break  # sorted by score: rest are below threshold
             cand_tgt = self.keyframes[frame]
+            if cand_tgt.session in done_sessions:
+                continue
             tgt_planes = btc.PlaneCloud(
                 center=self.db.kf_plane_c[frame],
                 normal=self.db.kf_plane_n[frame],
@@ -232,33 +252,62 @@ class LoopManager:
                 cands.R[ci], cands.t[ci], icp_eigval=self.icp_eigval,
             )
             if bool(r.accepted):
-                res = r
-                tgt = cand_tgt
-                break
-        if res is None:
+                self.n_loops_found += 1
+                accepted.append((r, cand_tgt))
+                done_sessions.add(cand_tgt.session)
+        if not accepted:
             return None
-        self.n_loops_found += 1
 
-        # loop edge between base scans: T maps query-local -> target-
-        # local, i.e. x_tgt ∘ T ≈ x_qry  ⇒  between(scan_tgt, scan_qry)
-        # measurement = T.
-        Rm = np.asarray(res.R)
-        tm = np.asarray(res.t)
+        need = False
+        opt_tgt = None
+        for res, tgt in accepted:
+            pushed, want_opt = self._gate_and_push_edge(
+                kf, np.asarray(res.R), np.asarray(res.t), tgt
+            )
+            if pushed and want_opt:
+                need = True
+                opt_tgt = tgt
+        if not need:
+            return None
+        self._since_opt = 0
+        return self._optimize(kf, opt_tgt)
+
+    def _gate_and_push_edge(
+        self, kf: Keyframe, Rm: np.ndarray, tm: np.ndarray, tgt: Keyframe
+    ) -> tuple:
+        """Apply the accept/optimize policies to one verified loop
+        (voxelslam.cpp:1997-2069) and push the edge if plausible.
+
+        Loop edge between base scans: T maps query-local -> target-
+        local, i.e. x_tgt ∘ T ≈ x_qry  ⇒  between(scan_tgt, scan_qry)
+        measurement = T.  Returns (edge_pushed, wants_optimize)."""
         v6 = np.full(6, 1e-4, np.float32)
-
         # drift = discrepancy between measured and estimated relative
-        # pose; policies per voxelslam.cpp:1997-2069
+        # pose
         p_pred = tgt.R0 @ tm + tgt.p0
         drift = float(np.linalg.norm(p_pred - kf.p0))
         self.last_drift = drift
         same = tgt.session == kf.session
+        pair = (min(tgt.session, kf.session), max(tgt.session, kf.session))
+        kf_jour = self.sessions[kf.session][kf.first_scan]["jour"]
         if same:
             q = self.sessions[kf.session]
             span = abs(
                 q[kf.first_scan]["jour"] - q[tgt.first_scan]["jour"]
             ) + 1e-6
             if drift / span > self.ratio_drift and drift > 1.0:
-                return None  # implausible same-session loop
+                return False, False  # implausible same-session loop
+        elif pair in self._merged_sessions:
+            # RE-link of an already-connected session: gate by
+            # drift / travel-since-last-link < ratio_drift (the
+            # reference's drift/jours[id] < 0.05, voxelslam.cpp:
+            # 2043-2054) — a bad cross-session ICP accept must not
+            # enter the graph with fixed 1e-4 noise.  Small absolute
+            # drifts pass outright (travel right after a link is ~0).
+            travel = kf_jour - self._link_jour.get(pair, 0.0)
+            if drift / max(travel, 1e-6) > self.ratio_drift and drift > 0.1:
+                return False, False
+        first_link = (not same) and pair not in self._merged_sessions
         self.loop_edges.append(
             LoopEdge(
                 s1=tgt.session, s2=kf.session,
@@ -267,19 +316,16 @@ class LoopManager:
             )
         )
         self._since_opt += 1
-        pair = (min(tgt.session, kf.session), max(tgt.session, kf.session))
-        first_link = (not same) and pair not in self._merged_sessions
         if first_link:
             self._merged_sessions.add(pair)
             self.g_update_pending = True  # g refresh (g_update=2)
+        if not same:
+            self._link_jour[pair] = kf_jour
         halt = self.curr_halt if same else self.prev_halt
-        need = first_link or (
+        want = first_link or (
             drift > (0.10 if same else 0.25) and self._since_opt > halt
         )
-        if not need:
-            return None
-        self._since_opt = 0
-        return self._optimize(kf, tgt)
+        return True, want
 
     # --------------------------------------------------------------- PGO
 
@@ -303,8 +349,15 @@ class LoopManager:
                 a, b = sess[i], sess[i + 1]
                 ei.append(off + i)
                 ej.append(off + i + 1)
-                Rm.append(a["R"].T @ b["R"])
-                tm.append(a["R"].T @ (b["p"] - a["p"]))
+                # stored odometry measurement (captured at arrival in
+                # push_scan_pose); the fallback covers poses injected
+                # outside that path (defensive only)
+                if "odom_Rm" in b:
+                    Rm.append(b["odom_Rm"])
+                    tm.append(b["odom_tm"])
+                else:
+                    Rm.append(a["R"].T @ b["R"])
+                    tm.append(a["R"].T @ (b["p"] - a["p"]))
                 w.append(1.0 / np.maximum(b["v6"], 1e-8))
         for e in self.loop_edges:
             ei.append(offsets[e.s1] + e.scan1)

@@ -79,9 +79,11 @@ class PipelineParams(NamedTuple):
     max_reroute: int = 1024
     # plane-refit compaction bound per steady scan: voxels skipped by
     # the bound stay growth-flagged (last_num unchanged) and retry on
-    # their next touch.  1024 systematically starves refits at
-    # ds=2048 (a scan touches ~2k voxels) and costs ATE 0.007->0.019
-    # on the bench room; keep >= n_ds
+    # their next touch.  BEFORE the refit growth gate, 1024 starved
+    # refits at ds=2048 (ATE 0.007->0.019 on the bench room); WITH the
+    # gate (refit_growth >= 5 filters the touched set first) 1024 is
+    # ATE-neutral there (round-2 bench: 0.0066) and saves ~15% step
+    # time.  Default stays n_ds for safety in unmeasured worlds.
     refit_size: int = 2048
 
 
@@ -147,6 +149,10 @@ class StepOutputs(NamedTuple):
     #   outputs so eviction throttling never syncs on the in-flight
     #   batch (a float(carry.jour) after dispatch would serialize the
     #   async pipeline)
+    n_occupied: jnp.ndarray  # () int32 hash-table occupancy — same
+    #   resolved-outputs discipline for the compaction valve (a
+    #   load_factor(carry.vmap.keys) on the host would block on the
+    #   in-flight batch)
 
 
 def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
@@ -405,15 +411,21 @@ def fill_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
         scan_mask=jnp.zeros_like(mask),
         overflow=ovf, n_subdiv=jnp.zeros((), jnp.int32),
         jour=carry.jour,
+        n_occupied=jnp.sum(vmap.keys[:, 3] >= 0),
     )
     return carry, out
 
 
-@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+@partial(jax.jit, static_argnames=("pp",))
 def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
-                imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity,
-                with_gravity: bool = False):
-    """Full per-scan hot path (steady state, window full)."""
+                imu_noise: prop.ImuNoise, ext_R, ext_t, scale_gravity):
+    """Full per-scan hot path (steady state, window full).
+
+    Gravity refreshes are NOT a flag here: a `with_gravity` static on
+    the steady program would re-run gravity BA for a whole batch and
+    carry a second compile variant — the one-shot `gravity_refresh`
+    program below matches the reference's episodic g_update
+    (voxelslam.cpp:1138-1156) instead."""
     W = pp.win_size
     x_post, pts_b, var_b, var_w, mask, res, preint = _front_end(
         carry, inp, pp, imu_noise, ext_R, ext_t, scale_gravity
@@ -431,7 +443,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     ba = opt.li_ba(
         win.xs, factors, win.pres, imu_coef=pp.imu_coef,
-        max_iter=pp.ba_max_iter, with_gravity=with_gravity,
+        max_iter=pp.ba_max_iter,
     )
     win = win._replace(xs=ba.xs)
 
@@ -444,10 +456,14 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
     # ---- marginalize oldest scan into fixed history ----
     # fold the RESIDENT oldest-column clusters (their Bf_var entered
-    # cov_add at push time), exactly the reference's per-voxel margi
+    # cov_add at push time), exactly the reference's per-voxel margi.
+    # Compaction bound covers the scan's own voxels PLUS rerouted
+    # child rows that landed in this column (up to max_reroute) —
+    # sizing at n_ds alone silently dropped live child clusters from
+    # fixed history after subdivision bursts.
     vmap = voxelmap.marginalize_column(
         vmap, x0.R, x0.p, carry.col0, pp.map_params,
-        size=min(pp.n_ds, pp.map_params.max_active),
+        size=min(pp.n_ds + pp.max_reroute, pp.map_params.max_active),
     )
 
     # ---- slide (window arrays roll; map columns advance the ring) ----
@@ -484,6 +500,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
         scan_pose=x0._replace(cov=nocov), scan_v6=v6, scan_pts=pts_q,
         scan_mask=scan_mask0,
         overflow=ovf, n_subdiv=n_sub, jour=jour,
+        n_occupied=jnp.sum(vmap.keys[:, 3] >= 0),
     )
     return carry, out
 
@@ -860,16 +877,16 @@ def fill_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t, scale_gravity):
                      ext_R, ext_t, scale_gravity)
 
 
-@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+@partial(jax.jit, static_argnames=("pp",))
 def steady_step_flat(carry, flat, pp, imu_noise, ext_R, ext_t,
-                     scale_gravity, with_gravity: bool = False):
+                     scale_gravity):
     return steady_step(carry, unpack_scan_flat(flat, pp), pp, imu_noise,
-                       ext_R, ext_t, scale_gravity, with_gravity)
+                       ext_R, ext_t, scale_gravity)
 
 
-@partial(jax.jit, static_argnames=("pp", "with_gravity"))
+@partial(jax.jit, static_argnames=("pp",))
 def steady_step_batch(carry, flats, pp, imu_noise, ext_R, ext_t,
-                      scale_gravity, with_gravity: bool = False):
+                      scale_gravity):
     """Process B scans in ONE device program (lax.scan over the steady
     step).  Amortizes per-call dispatch/transfer overhead — the TPU
     analogue of the reference's pipeline-thread latency hiding; adds
@@ -878,9 +895,44 @@ def steady_step_batch(carry, flats, pp, imu_noise, ext_R, ext_t,
     def body(c, flat):
         c, out = steady_step(
             c, unpack_scan_flat(flat, pp), pp, imu_noise, ext_R, ext_t,
-            scale_gravity, with_gravity
+            scale_gravity
         )
         return c, out
 
     carry, outs = jax.lax.scan(body, carry, flats)
     return carry, outs
+
+
+@partial(jax.jit, static_argnames=("pp",))
+def gravity_refresh(carry: Carry, pp: PipelineParams,
+                    imu_noise: prop.ImuNoise) -> Carry:
+    """One-shot gravity-refining window BA between scans — the
+    reference's episodic g_update after a cross-session merge
+    (voxelslam.cpp:1138-1156): re-run the window BA once with the
+    shared-gravity variant over the currently valid window states
+    (slots 0..W-2 after the slide; slot W-1 refills on the next push)
+    and adopt the refined states + gravity.  Costs ONE extra compiled
+    program on the rare merge event instead of a batch-wide
+    `with_gravity` recompile running 16 gravity BAs."""
+    W = pp.win_size
+    Wv = W - 1  # valid logical slots after the slide
+    perm = (carry.col0 + jnp.arange(Wv, dtype=jnp.int32)) % W
+    add_n = jnp.sum(carry.vmap.win[:, :, voxelmap.CL_N], axis=1)
+    factors = lf.harvest(
+        carry.vmap, add_n, pp.map_params, pp.max_ba_voxels, col_perm=perm
+    )
+    xs_v = jax.tree.map(lambda a: a[:Wv], carry.win.xs)
+    pres_v = jax.tree.map(lambda a: a[: Wv - 1], carry.win.pres)
+    ba = opt.li_ba(
+        xs_v, factors, pres_v, imu_coef=pp.imu_coef,
+        max_iter=pp.ba_max_iter, with_gravity=True,
+    )
+    xs = jax.tree.map(
+        lambda full, v: jax.lax.dynamic_update_slice_in_dim(full, v, 0, 0),
+        carry.win.xs, ba.xs,
+    )
+    x_last = state.index(ba.xs, Wv - 1)
+    x = carry.x._replace(
+        R=x_last.R, p=x_last.p, g=x_last.g,
+    )
+    return carry._replace(x=x, win=carry.win._replace(xs=xs))

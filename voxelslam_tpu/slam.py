@@ -126,8 +126,8 @@ class SlamFrontend:
         self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
         self._batch_buf = []  # flats awaiting a full device batch
         self._pressure = False  # hash overflow seen -> compact
-        self._scans_since_load_check = 0
         self._last_jour = 0.0  # travel stamp from RESOLVED outputs
+        self._last_load = 0.0  # hash load factor from RESOLVED outputs
 
     # ------------------------------------------------------------- inputs
 
@@ -217,6 +217,9 @@ class SlamFrontend:
             # (reference pressure valve: distance eviction + pool trim,
             # voxelslam.cpp:1503-1536)
             self._last_jour = float(out.jour)
+            self._last_load = (
+                float(out.n_occupied) / self.pp.map_params.capacity
+            )
             ovf = int(out.overflow)
             if ovf > 0:
                 self.telemetry.count("hash_overflow", ovf)
@@ -257,17 +260,28 @@ class SlamFrontend:
             leftovers = self._batch_buf
             self._batch_buf = []
             for flat, t_end in leftovers:
+                self._maybe_gravity_refresh()
                 self.carry, out = pl.steady_step_flat(
                     self.carry, jnp.asarray(flat), self.pp,
                     self.imu_noise, self.ext_R, self.ext_t,
-                    self.scale_gravity, with_gravity=self.g_update,
+                    self.scale_gravity,
                 )
-                self.g_update = False
                 self._pending = (
                     jax.tree.map(lambda a: a[None], out), [t_end]
                 )
                 rec = self._resolve_pending()
         return rec
+
+    def _maybe_gravity_refresh(self):
+        """One-shot gravity-refining window BA (g_update protocol,
+        voxelslam.cpp:1138-1156) — a single extra device program on
+        the rare cross-session merge, not a batch-wide recompile."""
+        if self.g_update:
+            self.g_update = False
+            with self.telemetry.stage("g_refresh"):
+                self.carry = pl.gravity_refresh(
+                    self.carry, self.pp, self.imu_noise
+                )
 
     def process_scan(self, pts: np.ndarray, offsets: np.ndarray,
                      t_begin: float, t_end: float,
@@ -357,21 +371,21 @@ class SlamFrontend:
         prev_pending = self._pending
         self._pending = None
         sess0 = self.session
+        self._maybe_gravity_refresh()
         with self.telemetry.stage("dispatch"):
             if self.scan_batch == 1:
                 self.carry, out = pl.steady_step_flat(
                     self.carry, jnp.asarray(flats[0]), self.pp,
                     self.imu_noise, self.ext_R, self.ext_t,
-                    self.scale_gravity, with_gravity=self.g_update,
+                    self.scale_gravity,
                 )
                 out = jax.tree.map(lambda a: a[None], out)
             else:
                 self.carry, out = pl.steady_step_batch(
                     self.carry, jnp.asarray(flats), self.pp,
                     self.imu_noise, self.ext_R, self.ext_t,
-                    self.scale_gravity, with_gravity=self.g_update,
+                    self.scale_gravity,
                 )
-            self.g_update = False
         # drain the PREVIOUS batch only now: its device execution
         # overlapped this batch's packing, so the wait is short, and
         # the batch just dispatched runs while the host records
@@ -415,21 +429,25 @@ class SlamFrontend:
         or the table load factor climbs past 0.7, evict with a
         progressively shorter distance horizon until load relaxes —
         graceful degradation instead of silently dropped voxels
-        (reference: voxelslam.cpp:1503-1536)."""
+        (reference: voxelslam.cpp:1503-1536).
+
+        The load check reads the RESOLVED outputs' occupancy
+        (StepOutputs.n_occupied, one batch stale) — never
+        load_factor(carry) of the batch just dispatched, which would
+        block the host on the whole in-flight batch.  Only the valve
+        loop itself (rare: actual pressure) syncs, to observe each
+        eviction's effect."""
         from .map import voxelmap as _vm
 
-        self._scans_since_load_check += 1
-        if not self._pressure and self._scans_since_load_check < 64:
-            return
-        self._scans_since_load_check = 0
-        load = float(_vm.load_factor(self.carry.vmap.keys))
-        if not self._pressure and load <= 0.7:
+        if not self._pressure and self._last_load <= 0.7:
             return
         dist = self.pp.map_params.evict_dist
         floor = self.pp.map_params.voxel_size * 8.0
         for _ in range(6):
             self._evict(jour_now, dist)
+            self.telemetry.count("host_sync_valve")
             load = float(_vm.load_factor(self.carry.vmap.keys))
+            self._last_load = load
             if load < 0.6 or dist <= floor:
                 break
             dist *= 0.5
