@@ -7,10 +7,23 @@ multicore CPU against 10 Hz LiDAR bags (BASELINE.md — no published
 numeric tables; real-time 10 scans/sec is its demonstrated rate), so
 vs_baseline = our_scans_per_sec / 10.
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+Round-3 rigor (VERDICT #5/#8):
+- timed window >= 512 scans, reported as mean +/- spread over 4
+  contiguous 128-scan segments (the number no longer moves with the
+  timing fence);
+- a latency-bounded number at scan_batch=4 (64 ms output latency vs
+  the 10 Hz sensor's 100 ms budget);
+- a SECOND world (ring-corridor circuit) with the FULL system (loop
+  closure + continuous bottom-up HBA + finish GBA) — the
+  `full_system_scans_per_sec` the frontend-only number hides.
+
+Prints ONE JSON line on stdout (primary metric first, extra keys
+after); diagnostics go to stderr.
 """
 
 import json
+import os
+import pickle
 import sys
 import time
 
@@ -21,31 +34,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _dataset(name, n_scans, make):
+    path = os.path.join("/tmp", f"bench_{name}_n{n_scans}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        log(f"loaded cached dataset {path}")
+        return data
+    t0 = time.time()
+    data = make(n_scans)
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    log(f"generated {name} ({n_scans} scans) in {time.time() - t0:.0f}s")
+    return data
 
-    # persistent compile cache (TPU compiles of the fused scan step are
-    # expensive; cache across runs)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from voxelslam_tpu.core import synthetic
+def _room_cfg():
     from voxelslam_tpu.core.config import (
         Config, GeneralCfg, LocalBACfg, OdometryCfg, Shapes,
     )
-    from voxelslam_tpu.slam import SlamFrontend
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {dev.device_kind}")
 
     # production-ish shapes: dense scan (28.8k rays), 10-scan window.
-    # Padded sizes right-sized by scripts/shape_sweep.py (everything
-    # is bandwidth-bound, so padding waste is ~linear in time):
-    # ds 2048 / V 2048 / C 2^16 keeps ATE while nearly doubling rate;
-    # larger worlds bump hash_capacity in their YAML (pressure valve
-    # + eviction cover the spill).
-    cfg = Config(
+    # Padded sizes right-sized by scripts/shape_sweep.py; 2^15 holds
+    # the scene at ~4% load (capacity is accuracy-neutral after the
+    # round-2 conditioning fixes); V=1024 truncates factors (ATE
+    # 0.007 -> 0.019): keep 2048.
+    return Config(
         general=GeneralCfg(imu_topic="/synthetic/imu"),
         odometry=OdometryCfg(
             cov_gyr=0.01, cov_acc=0.1, down_size=0.1, voxel_size=1.0,
@@ -53,16 +67,9 @@ def main():
         ),
         local_ba=LocalBACfg(win_size=10, max_iter=2),
         shapes=Shapes(
-            # 28.8k-ray scans host-reduce (native voxel_reduce, one
-            # representative per down_size cell) to fit 8192 — cuts
-            # device deskew/downsample and the tunnel transfer 4x
-            max_raw_points=8192,
+            max_raw_points=8192,  # 28.8k rays host-reduce to fit
             max_points=2048,
             max_imu=64,
-            # 2^15 holds the scene at ~4% load; ATE 0.0069 after the
-            # fill-covariance conditioning fix + reroute-cov removal
-            # (capacity sensitivity was numerical, diagnosed + fixed).
-            # V=1024 truncates factors (ATE 0.007 -> 0.019); keep 2048.
             hash_capacity=1 << 15,
             max_ba_voxels=2048,
             scan_batch=16,
@@ -72,92 +79,228 @@ def main():
         ),
     )
 
-    log("generating synthetic dataset...")
-    import pickle, os
-    traj = synthetic.Trajectory(
-        amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
-    )
-    dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300, fov_v=60.0,
-                                fov_h=160.0)  # 28800 rays, wide FoV
-    # warmup: IMU init (1) + fill (win) + enough steady scans to
-    # dispatch at least one full batch (compiles the batched steady
-    # program before the timed window); timed = whole batches only so
-    # no tail scans leak past the timing fence into flush()
-    sb = cfg.shapes.scan_batch
-    # 1 IMU-init scan + win_size fill scans, then whole batches
-    warm = cfg.local_ba.win_size + 1 + 2 * sb
-    # >=4 timed batches: the final flush drains a whole batch
-    # serially (~0.3 s), so short windows understate steady rate
-    timed_n = ((56 + sb - 1) // sb) * sb
-    n_scans = warm + timed_n
-    # dataset generation takes ~7 min on the 1-core host: cache it on
-    # disk keyed by the generation parameters (scan count, rays, seed)
-    cache_key = f"bench_data_n{n_scans}_r{dirs.shape[0]}_s7.pkl"
-    cache_path = os.path.join("/tmp", cache_key)
-    if os.path.exists(cache_path):
-        with open(cache_path, "rb") as f:
-            data = pickle.load(f)
-        log(f"loaded cached dataset {cache_path}")
-    else:
-        data = synthetic.simulate(
-            n_scans=n_scans, traj=traj, dirs=dirs, t0=0.5, seed=7,
-            world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
-        )
-        with open(cache_path, "wb") as f:
-            pickle.dump(data, f)
+
+def _ate(ts, ps, gt_t, gt_p):
+    errs = []
+    for i in range(len(ts)):
+        j = int(np.argmin(np.abs(gt_t - ts[i])))
+        errs.append(np.linalg.norm(ps[i] - gt_p[j]))
+    return float(np.sqrt(np.mean(np.array(errs) ** 2)))
+
+
+def _run_frontend(cfg, data, warm, timed_n, seg, label):
+    """Warm up, then time `timed_n` scans in `timed_n//seg` contiguous
+    segments.  Returns (mean_sps, std_sps, seg_rates, ate, warmup_s)."""
+    import jax
+
+    from voxelslam_tpu.slam import SlamFrontend
+    from voxelslam_tpu.utils.telemetry import Telemetry
 
     fe = SlamFrontend(cfg)
-    t_compile0 = time.time()
+    t0 = time.time()
     for sc in data.scans[:warm]:
         fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                         data.imu_t, data.imu_gyr, data.imu_acc)
-    log(f"warmup+compile: {time.time() - t_compile0:.1f}s, phase={fe.phase}")
+    warmup_s = time.time() - t0
+    log(f"[{label}] warmup+compile: {warmup_s:.1f}s, phase={fe.phase}")
     if fe.phase != "STEADY":
-        log("WARNING: pipeline not steady after warmup")
-    # the warmup count is batch-aligned (1 IMU-init + win fill +
-    # 2*scan_batch steady) so the timing fence lands on an empty
-    # batch buffer; verify rather than silently mistime
+        log(f"[{label}] WARNING: pipeline not steady after warmup")
     if fe._batch_buf:
-        log(f"WARNING: {len(fe._batch_buf)} scans straddle the fence")
+        log(f"[{label}] WARNING: {len(fe._batch_buf)} scans straddle "
+            "the fence")
 
-    # timed steady-state scans (fresh telemetry: warmup compiles would
-    # otherwise dominate the stage means)
-    from voxelslam_tpu.utils.telemetry import Telemetry
     fe.telemetry = Telemetry()
-    timed = data.scans[warm:]
-    import jax
+    rates = []
+    pos = warm
+    while pos + seg <= warm + timed_n and pos + seg <= len(data.scans):
+        t0 = time.time()
+        for sc in data.scans[pos : pos + seg]:
+            fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                            data.imu_t, data.imu_gyr, data.imu_acc)
+        # segment fence: the pipeline stays full (async batch in
+        # flight) — segments measure steady streaming, the final
+        # flush is timed into the last segment only
+        if pos + 2 * seg > warm + timed_n:
+            fe.flush()
+            jax.block_until_ready(fe.carry.x.p)
+        rates.append(seg / (time.time() - t0))
+        pos += seg
+    log(fe.telemetry.report())
+    ts, Rs, ps = fe.trajectory()
+    ate = _ate(ts, ps, data.gt_t, data.gt_p)
+    mean = float(np.mean(rates))
+    std = float(np.std(rates))
+    log(f"[{label}] segments: "
+        + ", ".join(f"{r:.1f}" for r in rates)
+        + f" -> {mean:.2f} +/- {std:.2f} scans/s; ATE {ate:.4f} m")
+    return mean, std, rates, ate, warmup_s
 
+
+def _full_system(out):
+    """Ring-corridor circuit with loop closure + continuous bottom-up
+    HBA + finish GBA — the three-thread pipeline the frontend-only
+    number hides (voxelslam.cpp:2617-2619)."""
+    from voxelslam_tpu.core import synthetic
+    from voxelslam_tpu.core.config import LoopCfg
+    from voxelslam_tpu.slam import VoxelSLAM
+    from voxelslam_tpu.utils.telemetry import Telemetry
+
+    lap_s = 24.0
+    f = 1.0 / lap_s
+    R_ring = 12.5
+    n_scans = 520  # ~2 laps + warmup: the revisit fires loop closure
+
+    def make(n):
+        traj = synthetic.Trajectory(
+            amp=np.array([R_ring, R_ring, 0.2]),
+            freq=np.array([f, f, 0.23]),
+            phase=np.array([0.0, -np.pi / 2, 0.0]),
+            yaw_amp=0.0, yaw_rate=2 * np.pi * f, pitch_amp=0.05,
+            ramp=1.5, t_start=1.0,
+        )
+        world = synthetic.make_ring(radius=R_ring, corridor=9.0, seed=3)
+        dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300, fov_v=60.0,
+                                    fov_h=160.0)
+        return synthetic.simulate(
+            n_scans=n, traj=traj, world=world, dirs=dirs, t0=0.5,
+            seed=11,
+            gyr_noise=2e-3, acc_noise=2e-2,
+            gyr_scale=1.02,  # heading drift -> the revisit needs PGO
+        )
+
+    import dataclasses
+
+    data = _dataset("ring", n_scans, make)
+    cfg = _room_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        loop=LoopCfg(icp_eigval=3.0, curr_halt=2),
+        odometry=dataclasses.replace(cfg.odometry, evict_dist=200.0),
+    )
+
+    slam = VoxelSLAM(cfg)
+    warm = cfg.local_ba.win_size + 1 + 2 * cfg.shapes.scan_batch
+    for sc in data.scans[:warm]:
+        slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                          data.imu_t, data.imu_gyr, data.imu_acc)
+    slam.frontend.telemetry = Telemetry()
+    timed = data.scans[warm:]
     t0 = time.time()
     for sc in timed:
-        fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
-                        data.imu_t, data.imu_gyr, data.imu_acc)
-    fe.flush()
-    jax.block_until_ready(fe.carry.x.p)
+        slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
+                          data.imu_t, data.imu_gyr, data.imu_acc)
+    slam.frontend.flush()
+    slam._drain()
     dt = time.time() - t0
     sps = len(timed) / dt
-    log(fe.telemetry.report())
-    log(f"sessions: {fe.session + 1}")
-    # output latency: results arrive one scan_batch behind real time
-    log(f"output latency: {sb} scans batched -> "
-        f"{sb / sps * 1000:.0f} ms behind the stream at this rate")
+    ts, _, ps = slam.trajectory()
+    ate_before = _ate(ts, ps, data.gt_t, data.gt_p)
+    t0 = time.time()
+    slam.finish()
+    finish_s = time.time() - t0
+    ts, _, ps = slam.trajectory()
+    ate_after = _ate(ts, ps, data.gt_t, data.gt_p)
+    tel = slam.frontend.telemetry
+    log(tel.report())
+    log(f"[full] {len(timed)} scans in {dt:.1f}s -> {sps:.2f} scans/s; "
+        f"loops={slam.loop.n_loops_found} opts={slam.loop.n_optimizations} "
+        f"ATE {ate_before:.4f} -> {ate_after:.4f} (finish {finish_s:.1f}s)")
+    out["full_system_scans_per_sec"] = round(sps, 3)
+    out["full_system_ate_m"] = round(ate_before, 4)
+    out["full_system_ate_after_gba_m"] = round(ate_after, 4)
+    out["full_system_loops"] = slam.loop.n_loops_found
+    out["full_system_finish_s"] = round(finish_s, 1)
+    for k in ("loop", "gba_window", "dispatch", "resolve", "pack"):
+        st = tel.stages.get(k)
+        if st is not None and st.count:
+            out[f"stage_{k}_ms"] = round(1000.0 * st.mean, 2)
 
-    # sanity: the result must be a real trajectory, not garbage
-    ts, Rs, ps = fe.trajectory()
-    errs = []
-    for i in range(len(ts)):
-        j = int(np.argmin(np.abs(data.gt_t - ts[i])))
-        errs.append(np.linalg.norm(ps[i] - data.gt_p[j]))
-    ate = float(np.sqrt(np.mean(np.array(errs) ** 2)))
-    log(f"{len(timed)} scans in {dt:.3f}s -> {sps:.2f} scans/s; ATE {ate:.4f} m")
-    if not np.isfinite(ate) or ate > 1.0:
-        log("WARNING: trajectory quality degraded; reporting anyway")
 
-    print(json.dumps({
+def main():
+    import jax
+
+    # persistent compile cache (TPU compiles of the fused scan step
+    # are expensive; cache across runs)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    had_cache = (
+        os.path.isdir("/root/repo/.jax_cache")
+        and len(os.listdir("/root/repo/.jax_cache")) > 10
+    )
+
+    from voxelslam_tpu.core import synthetic
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    cfg = _room_cfg()
+    sb = cfg.shapes.scan_batch
+    warm = cfg.local_ba.win_size + 1 + 2 * sb
+    seg = 128
+    timed_n = 512
+
+    def make_room_data(n):
+        traj = synthetic.Trajectory(
+            amp=np.array([1.5, 1.2, 0.3]), ramp=1.5, t_start=1.0
+        )
+        dirs = synthetic.lidar_dirs(n_lines=96, n_cols=300, fov_v=60.0,
+                                    fov_h=160.0)  # 28800 rays
+        return synthetic.simulate(
+            n_scans=n, traj=traj, dirs=dirs, t0=0.5, seed=7,
+            world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
+        )
+
+    data = _dataset("room", warm + timed_n, make_room_data)
+
+    mean, std, rates, ate, warmup_s = _run_frontend(
+        cfg, data, warm, timed_n, seg, "room/b16"
+    )
+
+    out = {
         "metric": "lidar_scans_per_sec_odom_lba",
-        "value": round(sps, 3),
+        "value": round(mean, 3),
         "unit": "scans/s",
-        "vs_baseline": round(sps / 10.0, 3),
-    }))
+        "vs_baseline": round(mean / 10.0, 3),
+        "value_std": round(std, 3),
+        "segments": [round(r, 2) for r in rates],
+        "timed_scans": timed_n,
+        "ate_m": round(ate, 4),
+        "warmup_s": round(warmup_s, 1),
+        "compile_cache_warm": bool(had_cache),
+        "scan_batch": sb,
+        "output_latency_ms": round(sb / mean * 1000.0, 0),
+    }
+
+    # latency-bounded number: scan_batch = 4 -> 4/rate output latency
+    try:
+        import dataclasses
+
+        cfg4 = _room_cfg()
+        cfg4 = dataclasses.replace(
+            cfg4, shapes=dataclasses.replace(cfg4.shapes, scan_batch=4)
+        )
+        warm4 = cfg4.local_ba.win_size + 1 + 2 * 4
+        m4, s4, _, ate4, _ = _run_frontend(
+            cfg4, data, warm4, 256, 64, "room/b4"
+        )
+        out["scans_per_sec_batch4"] = round(m4, 3)
+        out["ate_batch4_m"] = round(ate4, 4)
+        out["output_latency_batch4_ms"] = round(4 / m4 * 1000.0, 0)
+    except Exception as e:  # pragma: no cover
+        log(f"latency-bounded run failed: {e!r}")
+
+    # full system (loop + HBA) on the ring circuit
+    try:
+        _full_system(out)
+    except Exception as e:  # pragma: no cover
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        log(f"full-system run failed: {e!r}")
+
+    if not np.isfinite(out["ate_m"]) or out["ate_m"] > 1.0:
+        log("WARNING: trajectory quality degraded; reporting anyway")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

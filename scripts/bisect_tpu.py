@@ -161,8 +161,8 @@ def main():
         ), jnp.full((pts.shape[0],), params.capacity, jnp.int32)
     ablate("no push_scan", fns=[(voxelmap, "push_scan", no_push)])
 
-    def no_reroute(vmap, pts, var, mask, slot_pt, R, p, col_of_w, jour,
-                   params, max_reroute):
+    def no_reroute(vmap, pts, mask, slot_pt, R, p, col_of_w, jour,
+                   params, max_reroute, pending):
         C = params.capacity
         return vmap, slot_pt, jnp.zeros((C,), bool), jnp.int32(0)
     ablate("no reroute", fns=[(voxelmap, "reroute_subdivided", no_reroute)])

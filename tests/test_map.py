@@ -249,8 +249,8 @@ class TestReroute:
         slot_pt = jnp.full((W, N), C, jnp.int32).at[0].set(slot_new)
         col_of_w = jnp.arange(W, dtype=jnp.int32)
         vm2, slot2, child_touch, n_left = voxelmap.reroute_subdivided(
-            vm, win_pts, win_var, win_mask, slot_pt, Rw, pw, col_of_w,
-            jnp.float32(0), PARAMS, 512,
+            vm, win_pts, win_mask, slot_pt, Rw, pw, col_of_w,
+            jnp.float32(0), PARAMS, 512, pending=n_sub,
         )
         assert int(n_left) == 0
         # every point now records a level-1 slot

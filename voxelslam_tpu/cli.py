@@ -67,6 +67,25 @@ def cmd_run(args):
                   f"sessions={slam.frontend.session + 1} "
                   f"loops={slam.loop.n_loops_found}", file=sys.stderr)
     wall = time.time() - t0
+
+    def _ate():
+        if not args.gt:
+            return None
+        gt = np.load(args.gt)
+        ts_, _, ps_ = slam.trajectory()
+        if len(ts_) == 0:
+            return None
+        errs = []
+        for i in range(len(ts_)):
+            j = int(np.argmin(np.abs(gt["t"] - ts_[i])))
+            errs.append(np.linalg.norm(ps_[i] - gt["p"][j]))
+        return float(np.sqrt(np.mean(np.asarray(errs) ** 2)))
+
+    ate_before = None
+    if args.gt:
+        slam.frontend.flush()
+        slam._drain()
+        ate_before = _ate()
     if args.finish:
         slam.finish(save_dir=args.out)
     elif args.out:
@@ -93,6 +112,15 @@ def cmd_run(args):
         pgo_runs=slam.loop.n_optimizations,
         traj_len=len(ts),
     )
+    if args.gt:
+        summary["ate_m"] = (
+            round(ate_before, 4) if ate_before is not None else None
+        )
+        if args.finish:
+            a = _ate()
+            summary["ate_after_gba_m"] = (
+                round(a, 4) if a is not None else None
+            )
     print(json.dumps(summary))
 
     if args.viz and args.out:
@@ -156,6 +184,9 @@ def main(argv=None):
     r.add_argument("--previous-map", default=None,
                    help="comma-separated saved session dirs to "
                         "relocalize against")
+    r.add_argument("--gt", default=None,
+                   help="ground-truth npz (t, R, p): score ATE before "
+                        "and (with --finish) after the final GBA")
     r.set_defaults(fn=cmd_run)
 
     c = sub.add_parser("convert-synth", help="generate a synthetic dataset")

@@ -163,6 +163,144 @@ def make_ring(radius: float = 12.5, corridor: float = 9.0,
     return PlaneWorld(np.array(C), np.array(N), np.array(U), np.array(V))
 
 
+def make_multiroom(seed: int = 0, height: float = 4.5,
+                   n_boxes_per_room: int = 6, n_poles_per_room: int = 8
+                   ) -> PlaneWorld:
+    """Multi-room + corridor complex spanning ~51 x 40 m — the
+    HILTI-shaped stress world (VERDICT #3): three cluttered rooms
+    joined by two corridors, one of which (A->B, 22 m) is deliberately
+    FEATURELESS (two parallel walls + floor + ceiling): inside it the
+    point-to-plane problem is rank-deficient along the corridor axis,
+    the ESIKF degeneracy detector must trip (min-eig Σnnᵀ,
+    voxelslam.cpp:950-957) and the session resets — to be re-merged
+    later by cross-session loop closure when the path re-enters a
+    known room.
+
+    Layout (door gaps are floor-to-ceiling, 3 m wide):
+      room A  x∈[-7,7]   y∈[-6,6]
+      corr AB x∈[7,29]   y∈[-1.5,1.5]   (degeneracy stretch)
+      room B  x∈[29,43]  y∈[-6,6]
+      corr BC x∈[34.5,37.5] y∈[6,20]    (cluttered with poles)
+      room C  x∈[28,44]  y∈[20,34]
+    """
+    rng = np.random.default_rng(seed)
+    sz = height / 2.0
+    C, N, U, V = [], [], [], []
+
+    def rect(c, n, u, v):
+        C.append(np.asarray(c, float)); N.append(np.asarray(n, float))
+        U.append(np.asarray(u, float)); V.append(np.asarray(v, float))
+
+    def wall_x(x, y0, y1, nsign, gaps=()):
+        """Wall in the y-z plane at `x` over y∈[y0,y1], normal ±x;
+        `gaps` = (g0, g1) intervals left open (doors)."""
+        segs = [(y0, y1)]
+        for g0, g1 in gaps:
+            nxt = []
+            for a, b in segs:
+                if g0 > a:
+                    nxt.append((a, min(b, g0)))
+                if g1 < b:
+                    nxt.append((max(a, g1), b))
+            segs = nxt
+        for a, b in segs:
+            if b - a < 1e-6:
+                continue
+            rect([x, (a + b) / 2, 0], [nsign, 0, 0],
+                 [0, (b - a) / 2, 0], [0, 0, sz])
+
+    def wall_y(y, x0, x1, nsign, gaps=()):
+        segs = [(x0, x1)]
+        for g0, g1 in gaps:
+            nxt = []
+            for a, b in segs:
+                if g0 > a:
+                    nxt.append((a, min(b, g0)))
+                if g1 < b:
+                    nxt.append((max(a, g1), b))
+            segs = nxt
+        for a, b in segs:
+            if b - a < 1e-6:
+                continue
+            rect([(a + b) / 2, y, 0], [0, nsign, 0],
+                 [(b - a) / 2, 0, 0], [0, 0, sz])
+
+    def floor_ceil(x0, x1, y0, y1):
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        hx, hy = (x1 - x0) / 2, (y1 - y0) / 2
+        rect([cx, cy, -sz], [0, 0, 1], [hx, 0, 0], [0, hy, 0])
+        rect([cx, cy, sz], [0, 0, -1], [hx, 0, 0], [0, hy, 0])
+
+    def box(c, h):
+        for axis in range(3):
+            for sgn in (-1, 1):
+                n = np.zeros(3); n[axis] = sgn
+                cc = np.asarray(c, float) + n * h[axis]
+                ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+                u = np.zeros(3); u[ax1] = h[ax1]
+                v = np.zeros(3); v[ax2] = h[ax2]
+                rect(cc, n, u, v)
+
+    door = (-1.5, 1.5)
+    doorx = (34.5, 37.5)
+    # room A
+    wall_x(-7, -6, 6, 1)
+    wall_x(7, -6, 6, -1, gaps=[door])
+    wall_y(-6, -7, 7, 1)
+    wall_y(6, -7, 7, -1)
+    floor_ceil(-7, 7, -6, 6)
+    # corridor A->B (featureless)
+    wall_y(-1.5, 7, 29, 1)
+    wall_y(1.5, 7, 29, -1)
+    floor_ceil(7, 29, -1.5, 1.5)
+    # room B
+    wall_x(29, -6, 6, 1, gaps=[door])
+    wall_x(43, -6, 6, -1)
+    wall_y(-6, 29, 43, 1)
+    wall_y(6, 29, 43, -1, gaps=[doorx])
+    floor_ceil(29, 43, -6, 6)
+    # corridor B->C (cluttered)
+    wall_x(34.5, 6, 20, 1)
+    wall_x(37.5, 6, 20, -1)
+    floor_ceil(34.5, 37.5, 6, 20)
+    for k in range(4):
+        h = np.array([0.05, 0.05, rng.uniform(0.8, sz * 0.9)])
+        side = 35.1 if k % 2 == 0 else 36.9
+        box([side, 8.0 + 3.0 * k, -sz + h[2]], h)
+    # room C
+    wall_y(20, 28, 44, 1, gaps=[doorx])
+    wall_y(34, 28, 44, -1)
+    wall_x(28, 20, 34, 1)
+    wall_x(44, 20, 34, -1)
+    floor_ceil(28, 44, 20, 34)
+
+    # clutter in the rooms, clear of the path corridor through each
+    rooms = [((-7, 7), (-6, 6), (0.0, 0.0)),
+             ((29, 43), (-6, 6), (36.0, 0.0)),
+             ((28, 44), (20, 34), (36.0, 27.0))]
+    for (x0, x1), (y0, y1), (cx, cy) in rooms:
+        for _ in range(n_boxes_per_room):
+            h = rng.uniform(0.3, 1.1, 3)
+            for _retry in range(40):
+                p = rng.uniform([x0 + 1.5, y0 + 1.5], [x1 - 1.5, y1 - 1.5])
+                if np.linalg.norm(p - [cx, cy]) > 3.2:
+                    break
+            else:
+                continue
+            box([p[0], p[1], rng.uniform(-sz + h[2], 0)], h)
+        for _ in range(n_poles_per_room):
+            h = np.array([0.05, 0.05, rng.uniform(0.8, sz * 0.9)])
+            for _retry in range(40):
+                p = rng.uniform([x0 + 1.0, y0 + 1.0], [x1 - 1.0, y1 - 1.0])
+                if np.linalg.norm(p - [cx, cy]) > 3.2:
+                    break
+            else:
+                continue
+            box([p[0], p[1], -sz + h[2]], h)
+
+    return PlaneWorld(np.array(C), np.array(N), np.array(U), np.array(V))
+
+
 # ---------------------------------------------------------------- trajectory
 
 def _so3_exp(w):
@@ -255,6 +393,137 @@ class Trajectory:
         return np.array([Om[2, 1], Om[0, 2], Om[1, 0]])
 
 
+@dataclass
+class WaypointTrajectory:
+    """C² waypoint path: uniform cubic B-spline over the control
+    points (clamped ends), driven at ~constant speed with a
+    smootherstep spin-up (quiet IMU-init window), yaw following the
+    path tangent plus a small ramped wobble.  Same duck-typed API as
+    `Trajectory` (pos/rot/vel/acc/omega_body), derivatives via the
+    same high-order finite differences.
+
+    Control points should be spaced roughly evenly (~2-4 m): the
+    uniform spline's parametric speed is proportional to local
+    spacing, so even spacing ≈ constant metric speed."""
+
+    waypoints: np.ndarray  # (M, 3)
+    speed: float = 1.2  # m/s average
+    ramp: float = 1.5
+    t_start: float = 1.0
+    pitch_amp: float = 0.06
+    pitch_freq: float = 0.27
+    yaw_wobble: float = 0.12
+    yaw_wobble_freq: float = 0.37
+
+    def __post_init__(self):
+        P = np.asarray(self.waypoints, float)
+        # clamp ends (repeat) so the spline starts/ends AT the ends
+        self._P = np.concatenate([P[:1], P[:1], P, P[-1:], P[-1:]])
+        # average segment length -> spline-parameter rate for `speed`
+        seg = np.linalg.norm(np.diff(P, axis=0), axis=1)
+        self._rate = self.speed / max(float(np.mean(seg)), 1e-9)
+        self._s_max = len(P) + 1.0  # param range of the padded spline
+
+    def _spline(self, s):
+        """Uniform cubic B-spline over the padded control points."""
+        s = np.clip(s, 0.0, self._s_max - 1e-6)
+        i = int(np.floor(s))
+        u = s - i
+        p = self._P[i : i + 4]
+        b0 = (1 - u) ** 3 / 6.0
+        b1 = (3 * u**3 - 6 * u**2 + 4) / 6.0
+        b2 = (-3 * u**3 + 3 * u**2 + 3 * u + 1) / 6.0
+        b3 = u**3 / 6.0
+        return b0 * p[0] + b1 * p[1] + b2 * p[2] + b3 * p[3]
+
+    def _s(self, t):
+        tau = t - self.t_start
+        if tau <= 0:
+            return 0.0
+        r = _smootherstep(tau / self.ramp) if self.ramp > 0 else 1.0
+        return min(self._rate * tau * r, self._s_max - 1e-6)
+
+    def pos(self, t):
+        return self._spline(self._s(t))
+
+    def _tangent(self, t):
+        s = self._s(t)
+        h = 1e-4
+        d = self._spline(s + h) - self._spline(max(s - h, 0.0))
+        n = np.linalg.norm(d[:2])
+        if n < 1e-12:
+            return np.array([1.0, 0.0])
+        return d[:2] / n
+
+    def rot(self, t):
+        tx, ty = self._tangent(t)
+        yaw = np.arctan2(ty, tx)
+        tau = t - self.t_start
+        r = _smootherstep(tau / self.ramp) if self.ramp > 0 else 1.0
+        if tau <= 0:
+            r = 0.0
+        yaw = yaw + self.yaw_wobble * np.sin(
+            2 * np.pi * self.yaw_wobble_freq * t
+        ) * r
+        pitch = self.pitch_amp * np.sin(
+            2 * np.pi * self.pitch_freq * t
+        ) * r
+        Rz = _so3_exp(np.array([0, 0, yaw]))
+        Ry = _so3_exp(np.array([0, pitch, 0]))
+        return Rz @ Ry
+
+    _H = 1e-5
+
+    def vel(self, t):
+        h = self._H
+        return (self.pos(t + h) - self.pos(t - h)) / (2 * h)
+
+    def acc(self, t):
+        h = self._H
+        return (self.pos(t + h) - 2 * self.pos(t) + self.pos(t - h)) / (h * h)
+
+    def omega_body(self, t):
+        h = self._H
+        R = self.rot(t)
+        dR = (self.rot(t + h) - self.rot(t - h)) / (2 * h)
+        Om = R.T @ dR
+        return np.array([Om[2, 1], Om[0, 2], Om[1, 0]])
+
+
+def stress_waypoints() -> np.ndarray:
+    """The multi-room stress route: wander room A, traverse the
+    featureless corridor (degeneracy -> session reset), tour room B,
+    corridor up to room C, loop C, return through B to A — >= 3 true
+    revisits (B twice, A at start/end, C loop) over ~130 m."""
+    pts = []
+
+    def seg(path):
+        pts.extend(path)
+
+    # room A loop (start at origin, quiet)
+    seg([(0, 0), (2, 2), (4, 0), (2, -3), (-2, -3), (-4, 0),
+         (-2, 3), (1, 3), (3, 0.5)])
+    # corridor A->B (featureless stretch)
+    seg([(7, 0), (10, 0), (13, 0), (16, 0), (19, 0), (22, 0),
+         (25, 0), (28, 0)])
+    # room B tour
+    seg([(31, 0), (34, -2.5), (38, -3.5), (41, -1), (40, 2), (37, 3)])
+    # corridor B->C
+    seg([(36, 6), (36, 9), (36, 12), (36, 15), (36, 18)])
+    # room C loop
+    seg([(36, 22), (39, 24), (41, 27), (39, 31), (35, 32), (31, 30),
+         (30, 26), (33, 23)])
+    # back down the corridor, through B, back to A
+    seg([(36, 19), (36, 15), (36, 11), (36, 7)])
+    seg([(37, 3), (39, 0), (36, -2), (32, -1)])
+    seg([(28, 0), (24, 0), (20, 0), (16, 0), (12, 0), (8, 0)])
+    # room A re-entry + final loop
+    seg([(4, 1), (1, 3), (-2, 2), (-3, -1), (0, -2), (2, 0)])
+    out = np.zeros((len(pts), 3))
+    out[:, :2] = np.asarray(pts, float)
+    return out
+
+
 # ---------------------------------------------------------------- raycast
 
 def raycast(world: PlaneWorld, origin: np.ndarray, dirs: np.ndarray,
@@ -317,6 +586,8 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
              gyr_bias=(0.0, 0.0, 0.0), acc_bias=(0.0, 0.0, 0.0),
              gyr_scale: float = 1.0,
              range_noise: float = 0.0, range_scale: float = 1.0,
+             range_noise_rel: float = 0.0,  # + σ ∝ range (real LiDAR)
+             outlier_frac: float = 0.0,  # spurious short returns
              gravity: float = 9.8,
              extrinsic_R: np.ndarray | None = None,
              extrinsic_t: np.ndarray | None = None,
@@ -382,8 +653,16 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
             d_w = (R_l @ dirs[idx].T).T
             rr = raycast(world, p_l, d_w)
             ok = np.isfinite(rr)
-            if range_noise > 0:
-                rr = rr + rng.normal(0, range_noise, rr.shape)
+            if range_noise > 0 or range_noise_rel > 0:
+                sig = range_noise + range_noise_rel * np.where(ok, rr, 0.0)
+                rr = rr + rng.normal(0, 1, rr.shape) * sig
+            if outlier_frac > 0:
+                # dust/glass-style spurious short returns: a fraction
+                # of rays report a hit well before the surface
+                sel = ok & (rng.random(rr.shape) < outlier_frac)
+                rr = np.where(
+                    sel, rr * rng.uniform(0.15, 0.9, rr.shape), rr
+                )
             # range scale error (real lidar mis-calibration): the
             # traversed geometry measures range_scale x larger, which
             # lidar matching cannot self-correct — odometry drift

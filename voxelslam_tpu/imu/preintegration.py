@@ -128,7 +128,10 @@ def integrate(
         return out, None
 
     init = identity((), dtype)._replace(bg0=bg0, ba0=ba0)
-    pre, _ = jax.lax.scan(step, init, (dt, gyr, acc, valid))
+    # unrolled for the same loop-overhead reason as prop.propagate
+    from .propagation import UNROLL
+
+    pre, _ = jax.lax.scan(step, init, (dt, gyr, acc, valid), unroll=UNROLL)
     return pre
 
 

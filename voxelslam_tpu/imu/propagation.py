@@ -29,6 +29,12 @@ import numpy as np
 from ..core import so3
 from ..core.state import DIM, NavState
 
+# lax.scan unroll factor for the per-IMU-interval loops (propagate /
+# propagate_backward / preintegration.integrate): the body is ~30 tiny
+# 15x15 ops, so loop-step overhead dominates un-unrolled on TPU.
+# Module-level so perf A/B harnesses can patch it (trace-time read).
+UNROLL = 8
+
 
 class ImuBatch(NamedTuple):
     """Per-scan IMU intervals, padded to a static length M."""
@@ -178,8 +184,12 @@ def propagate(
         return (R, p, v, cov, w_last, a_last), rec
 
     init = (x.R, x.p, x.v, x.cov, jnp.zeros(3, dtype), jnp.zeros(3, dtype))
+    # unroll: the per-iteration work is ~30 tiny ops on 15x15 blocks;
+    # loop-step overhead dominated the fused scan step (measured
+    # ~1.5 ms/scan at n_imu=64) — unrolling fuses 8 intervals per step
     (R, p, v, cov, w_last, a_last), recs = jax.lax.scan(
-        step, init, (imus.dt, imus.gyr, imus.acc, imus.valid)
+        step, init, (imus.dt, imus.gyr, imus.acc, imus.valid),
+        unroll=UNROLL,
     )
 
     # signed extrapolation to scan end (ekf_imu.hpp:117-123)
@@ -246,7 +256,7 @@ def propagate_backward(
 
     _, recs = jax.lax.scan(
         step, (R1, p1, v1), (imus.dt, imus.gyr, imus.acc, imus.valid),
-        reverse=True,
+        reverse=True, unroll=UNROLL,
     )
     return ImuPoses(
         offt=imus.offt, R=recs[0], p=recs[1], v=recs[2], w=recs[3],

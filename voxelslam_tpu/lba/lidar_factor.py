@@ -117,6 +117,50 @@ def harvest(
     )
 
 
+def sharded_eval(mesh):
+    """shard_map'd factor evaluation over VOXELS for a multi-chip
+    window BA — the SPMD form of the reference's fork-join Hessian
+    pools (voxel_map.hpp:306-335, 465-523): each device evaluates the
+    eigen-factor gradient/Hessian of its factor shard, and the scalar
+    residual / (W,6) gradient / (W,W,6,6) Hessian reduce with psums
+    over ICI.
+
+    Returns (assemble_fn, resid_fn):
+      assemble_fn(factors, R, p) -> (resid, grad, hess)
+      resid_fn(factors, R, p) -> resid
+    Both are jit-composable (usable inside `li_ba` under jit).  The
+    factor dim V must be divisible by the mesh size.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec_f = LidarFactors(*([P("data")] * len(LidarFactors._fields)))
+
+    def local_assemble(fact, R, p):
+        rl, cache = evaluate_residual(fact, R, p)
+        _, g6, H6 = evaluate_hess(fact, cache, R, p)
+        return (
+            jax.lax.psum(rl, "data"),
+            jax.lax.psum(g6, "data"),
+            jax.lax.psum(H6, "data"),
+        )
+
+    def local_resid(fact, R, p):
+        rl, _ = evaluate_residual(fact, R, p)
+        return jax.lax.psum(rl, "data")
+
+    f_a = shard_map(local_assemble, mesh=mesh,
+                    in_specs=(spec_f, P(), P()),
+                    out_specs=(P(), P(), P()))
+    f_r = shard_map(local_resid, mesh=mesh,
+                    in_specs=(spec_f, P(), P()), out_specs=P())
+    return f_a, f_r
+
+
 class FactorCache(NamedTuple):
     """Per-voxel eigen decomposition cached by the residual pass and
     consumed by the Hessian pass (reference evaluate_only_residual
@@ -208,7 +252,9 @@ def evaluate_hess(
     combo2 = jnp.einsum("wij,vwj->vwi", R, vi) + ni[..., None] * ti_v
     RiTu_hat = so3.hat(RiTu)
 
-    # A_i (V, W, 3, 6)
+    # A_i (V, W, 3, 6).  Rows of empty window slots are structurally
+    # zero (every term carries a P_i, v_i or n_i factor), so no `has`
+    # masking is needed.
     RP = jnp.einsum("wij,vwjk->vwik", R, Pi)
     left = (
         (RP + ti_v[..., :, None] * vi[..., None, :]) @ RiTu_hat
@@ -218,7 +264,6 @@ def evaluate_hess(
         "vwi,vi->vw", combo2, u
     )[..., None, None] * jnp.eye(3, dtype=dtype)
     Auk = jnp.concatenate([left, right], axis=-1) / NN[:, None, None, None]
-    Auk = jnp.where(has[..., None, None], Auk, 0.0)
 
     # gradient: jjt_i = A_iᵀ u  (V, W, 6); reduce over voxels
     jjt = jnp.einsum("vwia,vi->vwa", Auk, u)
@@ -232,31 +277,30 @@ def evaluate_hess(
     inv_nn = 1.0 / NN  # (V,)
     inv_nn2 = inv_nn * inv_nn
 
-    # diagonal d²S corrections (reference Hb diagonal add-ons)
-    rot_corr = (
-        2.0 * inv_nn[:, None, None, None]
-        * ((combo1 - RiTu_hat @ Pi) @ RiTu_hat)
-        - 2.0 * inv_nn2[:, None, None, None]
-        * (viRiTu[..., :, None] * viRiTu[..., None, :])
-        - 0.5 * so3.hat(jjt[..., 0:3])
+    # diagonal d²S corrections (reference Hb diagonal add-ons),
+    # reduced over voxels IMMEDIATELY into (W, 3, 3) blocks — never
+    # materializing (V, W, 6, 6) block tensors (HBM traffic at tiny
+    # minor dims was the dominant cost of this function on TPU).
+    # Empty-slot rows are structurally zero, same as A_i.
+    M1 = (combo1 - RiTu_hat @ Pi) @ RiTu_hat
+    w1 = 2.0 * coe * inv_nn
+    w2 = 2.0 * coe * inv_nn2
+    rot_c = (
+        jnp.einsum("v,vwij->wij", w1, M1)
+        - jnp.einsum("v,vwi,vwj->wij", w2, viRiTu, viRiTu)
+        - 0.5 * so3.hat(grad[:, 0:3])  # hat is linear: Σ coe·hat(jjt)
     )
-    HRt = (
-        2.0 * inv_nn[:, None, None]
-        * (1.0 - ni * inv_nn[:, None])[..., None]
-    )[..., None] * (viRiTu[..., :, None] * u[:, None, None, :])
-    tt_corr = (
-        2.0 * inv_nn[:, None] * (ni - ni * ni * inv_nn[:, None])
-    )[..., None, None] * (u[:, None, :, None] * u[:, None, None, :])
-
-    diag = jnp.zeros((V, W, 6, 6), dtype)
-    diag = diag.at[..., 0:3, 0:3].set(rot_corr)
-    diag = diag.at[..., 0:3, 3:6].set(HRt)
-    diag = diag.at[..., 3:6, 0:3].set(jnp.swapaxes(HRt, -1, -2))
-    diag = diag.at[..., 3:6, 3:6].set(tt_corr)
-    diag = jnp.where(has[..., None, None], diag, 0.0)
-    H = H + jnp.einsum(
-        "v,vwab,wu->wuab", coe, diag, jnp.eye(W, dtype=dtype)
-    )
+    cvw = 2.0 * inv_nn[:, None] * (1.0 - ni * inv_nn[:, None])  # (V, W)
+    hrt_c = jnp.einsum("v,vw,vwi,vj->wij", coe, cvw, viRiTu, u)
+    c2 = 2.0 * inv_nn[:, None] * (ni - ni * ni * inv_nn[:, None])
+    tt_c = jnp.einsum("v,vw,vi,vj->wij", coe, c2, u, u)
+    Hd = jnp.zeros((W, 6, 6), dtype)
+    Hd = Hd.at[:, 0:3, 0:3].set(rot_c)
+    Hd = Hd.at[:, 0:3, 3:6].set(hrt_c)
+    Hd = Hd.at[:, 3:6, 0:3].set(jnp.swapaxes(hrt_c, -1, -2))
+    Hd = Hd.at[:, 3:6, 3:6].set(tt_c)
+    idxW = jnp.arange(W)
+    H = H.at[idxW, idxW].add(Hd)
 
     # off-diagonal d²S corrections (i≠j): the mean-coupling terms
     #   rr: −2/NN² (hat(v_i)Rᵀu)(hat(v_j)Rᵀu)ᵀ

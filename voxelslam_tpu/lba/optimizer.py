@@ -195,6 +195,7 @@ def li_ba(
     u_init=0.01,
     g_norm_prior: jnp.ndarray | None = None,
     g_prior_weight: float = 1000.0,
+    mesh=None,
 ) -> BAResult:
     """LiDAR-inertial LM (LI_BA_Optimizer::damping_iter,
     voxel_map.hpp:562-653; gravity variant 775-864).
@@ -205,18 +206,36 @@ def li_ba(
     `g_norm_prior` (gravity variant only) adds ½·w·(‖g‖ − n₀)²: the
     gravity *magnitude* is weakly observable in low-excitation windows
     (a static init would otherwise let LM wander along the g↔v flat
-    direction), while its direction is what the BA must refine."""
+    direction), while its direction is what the BA must refine.
+
+    `mesh` (optional jax.sharding.Mesh with a "data" axis): shard the
+    factor evaluation over voxels across the mesh — each device
+    assembles its shard's gradient/Hessian, psum over ICI (the SPMD
+    form of the reference's 5-thread Hessian pool, voxel_map.hpp:
+    465-523).  V must be divisible by the mesh size."""
     W = xs.p.shape[0]
     dtype = xs.p.dtype
     n = W * DIM + (3 if with_gravity else 0)
     use_gprior = with_gravity and g_norm_prior is not None
+
+    if mesh is not None:
+        _assemble_l, _resid_l = lf.sharded_eval(mesh)
+    else:
+        def _assemble_l(factors_, R, p):
+            rl, cache = lf.evaluate_residual(factors_, R, p)
+            _, g6, H6 = lf.evaluate_hess(factors_, cache, R, p)
+            return rl, g6, H6
+
+        def _resid_l(factors_, R, p):
+            rl, _ = lf.evaluate_residual(factors_, R, p)
+            return rl
 
     def g_prior_cost(x):
         gn = jnp.linalg.norm(x.g[0])
         return 0.5 * g_prior_weight * (gn - g_norm_prior) ** 2
 
     def total_residual(x):
-        rl, _ = lf.evaluate_residual(factors, x.R, x.p)
+        rl = _resid_l(factors, x.R, x.p)
         ri = _imu_residual(x, pres)
         r = rl + 0.5 * imu_coef * ri
         if use_gprior:
@@ -224,8 +243,7 @@ def li_ba(
         return r
 
     def assemble(x):
-        rl, cache = lf.evaluate_residual(factors, x.R, x.p)
-        _, g6, H6 = lf.evaluate_hess(factors, cache, x.R, x.p)
+        rl, g6, H6 = _assemble_l(factors, x.R, x.p)
         Hi, gi, chi2 = _imu_system(x, pres, with_gravity)
         H = imu_coef * Hi
         g = imu_coef * gi

@@ -429,12 +429,12 @@ def push_scan(
     wdst = jnp.where(slot_s < C, slot_s * W + col, C * W)
     obody = cluster.point_outer_packed(body)
     vals = jnp.concatenate([obody, body, ones[:, None]], axis=-1)
-    # destination rows may hold STALE clusters from a previous ring
-    # lap (clear_window_col only invalidates win_n): scatter zeros
-    # first — duplicate indices all write the same value, so the
-    # write is order-independent.  One fused (P, v, n) row per point.
-    base = vmap.win.reshape(C * W, CL_W).at[wdst].set(0.0, mode="drop")
-    win = segsum.sorted_segment_add(base, wdst, vals).reshape(C, W, CL_W)
+    # destination rows are in the freshly cleared ring column, which
+    # clear_window_col zeroed across ALL lanes — accumulate directly
+    # (no stale-row zero-scatter; see the invariant there)
+    win = segsum.sorted_segment_add(
+        vmap.win.reshape(C * W, CL_W), wdst, vals
+    ).reshape(C, W, CL_W)
 
     bcov = _bf_var(rel_s, var_w[order])
     cov_add = segsum.sorted_segment_add(vmap.cov_add, slot_s, bcov)
@@ -456,7 +456,6 @@ def push_scan(
 def reroute_subdivided(
     vmap: VoxelMap,
     pts_body: jnp.ndarray,  # (W, N, 3) window body-frame points
-    var_w: jnp.ndarray,  # (W, N, 3, 3)
     mask: jnp.ndarray,  # (W, N)
     slot_pt: jnp.ndarray,  # (W, N) int32 current slot per point (C=invalid)
     R: jnp.ndarray,  # (W, 3, 3) LOGICAL-order window poses
@@ -465,10 +464,12 @@ def reroute_subdivided(
     jour: jnp.ndarray,
     params: MapParams,
     max_reroute: int,
+    pending: jnp.ndarray,  # () int32 > 0 iff any subdivision may have
+    #   un-rerouted points (fresh recut subdivisions + carried backlog)
 ):
     """Inline subdivision re-route — the TPU counterpart of the
     reference's OctoTree subdivide() point redistribution
-    (voxel_map.hpp:1150-1194), run unconditionally every steady scan.
+    (voxel_map.hpp:1150-1194).
 
     Resident window points whose recorded voxel flipped to subdivided
     (state == 1) are re-assigned through the level descent, their
@@ -477,6 +478,14 @@ def reroute_subdivided(
     rows are left stale: every consumer masks them out via
     state == 0 (harvest/match/recut) and `marginalize_column`
     skips subdivided slots, so ring laps clean them up naturally.
+
+    The expensive part (candidate compaction, level descent, child
+    insertion, destination sort) runs under `lax.cond(pending > 0)`:
+    steady scans with no subdivisions pay only the cheap
+    unconditional applies below.  The cond's carried operands are
+    deliberately SMALL (keys + (K,)-sized update vectors) — the big
+    win table is updated outside the cond by one segment-add whose
+    skip-branch indices all drop, so the false branch never copies it.
 
     At most `max_reroute` points move per call; the rest stay flagged
     (state of their slot remains 1) and retry next scan — a bounded,
@@ -489,46 +498,63 @@ def reroute_subdivided(
     dtype = pts_body.dtype
     K = max_reroute
 
-    flat_slot = slot_pt.reshape(-1)
-    st = vmap.state[jnp.clip(flat_slot, 0, C - 1)]
-    need = mask.reshape(-1) & (flat_slot < C) & (st == 1)
-    (ridx,) = jnp.nonzero(need, size=K, fill_value=W * N)
-    rok = ridx < W * N
-    ri = jnp.clip(ridx, 0, W * N - 1)
-    w_of = (ri // N).astype(jnp.int32)
+    def compute(keys):
+        flat_slot = slot_pt.reshape(-1)
+        st = vmap.state[jnp.clip(flat_slot, 0, C - 1)]
+        need = mask.reshape(-1) & (flat_slot < C) & (st == 1)
+        (ridx,) = jnp.nonzero(need, size=K, fill_value=W * N)
+        rok = ridx < W * N
+        ri = jnp.clip(ridx, 0, W * N - 1)
+        w_of = (ri // N).astype(jnp.int32)
 
-    body = pts_body.reshape(-1, 3)[ri]
-    pts_w = jnp.einsum("kij,kj->ki", R[w_of], body) + p[w_of]
+        body = pts_body.reshape(-1, 3)[ri]
+        pts_w = jnp.einsum("kij,kj->ki", R[w_of], body) + p[w_of]
 
-    coord, lvl, slot0 = assign(vmap, pts_w, rok, params)
-    keys, slot, _, _ = hashmap.insert_points(
-        vmap.keys, coord, lvl, rok, params.max_probe,
-        max_unique=K, known_slot=slot0,
+        coord, lvl, slot0 = assign(vmap._replace(keys=keys), pts_w, rok,
+                                   params)
+        keys, slot, _, _ = hashmap.insert_points(
+            keys, coord, lvl, rok, params.max_probe,
+            max_unique=K, known_slot=slot0,
+        )
+        ok = rok & (slot >= 0)
+        slot_safe = jnp.where(ok, slot, C)
+
+        colw = col_of_w[w_of]
+        wdst = jnp.where(ok, slot * W + colw, C * W)
+        order = jnp.argsort(wdst)
+        wdst_s = wdst[order]
+        body_s = body[order]
+        obody = cluster.point_outer_packed(body_s)
+        vals = jnp.concatenate(
+            [obody, body_s, jnp.ones((K, 1), dtype)], axis=-1
+        )
+        vals = jnp.where((wdst_s < C * W)[:, None], vals, 0.0)
+        n_left = jnp.sum(need) - jnp.sum(ok)
+        return keys, wdst_s, vals, jnp.where(ok, ri, W * N), slot_safe, \
+            n_left
+
+    def skip(keys):
+        return (
+            keys,
+            jnp.full((K,), C * W, jnp.int32),
+            jnp.zeros((K, CL_W), dtype),
+            jnp.full((K,), W * N, jnp.int32),
+            jnp.full((K,), C, jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    keys, wdst_s, vals, ri_upd, slot_safe, n_left = jax.lax.cond(
+        pending > 0, compute, skip, vmap.keys
     )
-    ok = rok & (slot >= 0)
-    slot_safe = jnp.where(ok, slot, C)
+
+    # ---- cheap unconditional applies (skip-branch indices all drop) --
+    # rows with win_n == 0 are fully zero (clear_window_col zeroes all
+    # lanes), so fresh destinations accumulate directly; live child
+    # rows accumulate on top, exactly like a second scan's push
+    win = segsum.sorted_segment_add(
+        vmap.win.reshape(C * W, CL_W), wdst_s, vals
+    ).reshape(C, W, CL_W)
     jour_arr = vmap.jour.at[slot_safe].set(jour, mode="drop")
-
-    colw = col_of_w[w_of]
-    wdst = jnp.where(ok, slot * W + colw, C * W)
-    order = jnp.argsort(wdst)
-    wdst_s = wdst[order]
-    body_s = body[order]
-
-    winf = vmap.win.reshape(C * W, CL_W)
-    # a destination row with win_n == 0 may hold a stale cluster from
-    # a previous ring lap — zero those rows before accumulating (live
-    # rows accumulate on top, exactly like a second scan's push)
-    stale = winf[jnp.clip(wdst_s, 0, C * W - 1), CL_N] == 0
-    zdst = jnp.where(stale, wdst_s, C * W)
-    winf = winf.at[zdst].set(0.0, mode="drop")
-
-    obody = cluster.point_outer_packed(body_s)
-    vals = jnp.concatenate(
-        [obody, body_s, jnp.ones((K, 1), dtype)], axis=-1
-    )
-    win = segsum.sorted_segment_add(winf, wdst_s, vals).reshape(C, W, CL_W)
-
     # NOTE: no cov_add accumulation here.  The re-routed points'
     # Bf_var already entered the PARENT's cov_add at push time;
     # children accumulate noise from every subsequent push.  (An
@@ -537,12 +563,8 @@ def reroute_subdivided(
     # TPU at small table capacities — total match loss from scan 2 —
     # while the identical per-scan program was correct.  Removing it
     # is both the workaround and a conservative-noise simplification.)
-
     child_touch = jnp.zeros((C,), bool).at[slot_safe].set(True, mode="drop")
-    flat_slot = flat_slot.at[jnp.where(ok, ri, W * N)].set(
-        slot_safe, mode="drop"
-    )
-    n_left = jnp.sum(need) - jnp.sum(ok)
+    flat_slot = slot_pt.reshape(-1).at[ri_upd].set(slot_safe, mode="drop")
     return (
         vmap._replace(keys=keys, jour=jour_arr, win=win),
         flat_slot.reshape(W, N),
@@ -644,18 +666,17 @@ def clear_window_col(vmap: VoxelMap, col: jnp.ndarray) -> VoxelMap:
     steady hot path (the reference's mp[] ring-index rotation,
     voxelslam.cpp:1689-1693).
 
-    Only the count lane is zeroed (one fused elementwise pass over the
-    win table); the stale P/v lanes stay and are IGNORED by every
-    consumer (all mask by win_n > 0) until the next `push_scan` into
-    this column overwrites them in place (it scatters zeros to its
-    destination rows before accumulating)."""
+    ALL lanes of the column are zeroed (one fused elementwise masked
+    multiply over the win table; a dynamic_update_slice variant
+    measured ~3x slower on TPU — the full-buffer copy it implies
+    beats the multiply's streaming pass).
+
+    This maintains the invariant exploited by `push_scan` and
+    `reroute_subdivided`: every row with win_n == 0 is entirely zero,
+    so fresh accumulation needs NO stale-row zero-scatter."""
     W = vmap.win.shape[1]
-    notcol = (jnp.arange(W, dtype=jnp.int32) != col)
-    lane_n = jnp.arange(CL_W) == CL_N
-    keep = jnp.where(
-        notcol[:, None] | ~lane_n[None, :], 1.0, 0.0
-    ).astype(vmap.win.dtype)
-    return vmap._replace(win=vmap.win * keep[None])
+    keep = (jnp.arange(W, dtype=jnp.int32) != col).astype(vmap.win.dtype)
+    return vmap._replace(win=vmap.win * keep[None, :, None])
 
 
 # ------------------------------------------------------------------ planes

@@ -118,6 +118,11 @@ class Carry(NamedTuple):
     rr_touch: jnp.ndarray  # (C,) bool — child voxels created by last
     #   scan's subdivision re-route, folded into the next recut's
     #   touched set so fresh children get planes one scan later
+    rr_pending: jnp.ndarray  # () int32 — nonzero iff subdivided voxels
+    #   may still hold un-rerouted window points (fresh recut
+    #   subdivisions + reroute backlog): gates the reroute pass's
+    #   expensive branch (lax.cond), which is skipped on the
+    #   overwhelmingly common no-subdivision steady scan
 
 
 class ScanInputs(NamedTuple):
@@ -180,6 +185,7 @@ def make_empty_carry(pp: PipelineParams, noise_cfg: prop.ImuNoise,
         init_flat=jnp.zeros((W, flat_len(pp)), dtype),
         col0=jnp.zeros((), jnp.int32),
         rr_touch=jnp.zeros((C,), bool),
+        rr_pending=jnp.zeros((), jnp.int32),
     )
 
 
@@ -267,21 +273,21 @@ def _scatter_recut(vmap: VoxelMap, win: WindowState, jour, pp: PipelineParams):
     return vmap, scratch, overflow, slots
 
 
-def _push_recut(vmap: VoxelMap, win: WindowState, col0, rr_touch, jour,
-                pp: PipelineParams):
+def _push_recut(vmap: VoxelMap, win: WindowState, col0, rr_touch,
+                rr_pending, jour, pp: PipelineParams):
     """Steady-state map update: incremental push of ONE scan, plane
     refit of the pushed scan's voxels (+ last scan's re-route
     children), then the inline subdivision re-route.
 
     Subdivided voxels need their resident window clusters re-routed to
     fresh children (the reference's subdivide() redistribution,
-    voxel_map.hpp:1150-1194).  The re-route runs UNCONDITIONALLY as a
-    small bounded pass (`voxelmap.reroute_subdivided`): the per-point
-    slot record makes the affected set a cheap compaction instead of a
-    full window re-scatter, and a `lax.cond` would cost more than the
-    pass itself (the conditional copies its whole operand tuple).
+    voxel_map.hpp:1150-1194).  The re-route's expensive branch runs
+    only when `rr_pending + n_subdiv > 0` (`voxelmap.
+    reroute_subdivided` keeps the cond operands small, so the
+    common no-subdivision scan pays ~nothing).
 
-    Returns (vmap', win', add_n, overflow, n_subdiv, rr_touch')."""
+    Returns (vmap', win', add_n, overflow, n_subdiv, rr_touch',
+    rr_pending')."""
     W = pp.win_size
     wl = W - 1  # logical slot of the fresh scan
     col = (col0 + wl) % W  # its physical ring column
@@ -306,12 +312,14 @@ def _push_recut(vmap: VoxelMap, win: WindowState, col0, rr_touch, jour,
     )
     # inline re-route of points whose voxel just subdivided
     col_of_w = (col0 + jnp.arange(W, dtype=jnp.int32)) % W
-    vmap, slot_pt, child_touch, _ = voxelmap.reroute_subdivided(
-        vmap, win.pts, win.var, win.mask, win.slot, win.xs.R, win.xs.p,
+    vmap, slot_pt, child_touch, n_left = voxelmap.reroute_subdivided(
+        vmap, win.pts, win.mask, win.slot, win.xs.R, win.xs.p,
         col_of_w, jour, pp.map_params, pp.max_reroute,
+        pending=rr_pending + n_subdiv,
     )
     win = win._replace(slot=slot_pt)
-    return vmap, win, add_n, overflow, n_subdiv, child_touch
+    return (vmap, win, add_n, overflow, n_subdiv, child_touch,
+            n_left.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("pp",))
@@ -326,6 +334,7 @@ def rebuild_map(carry: Carry, pp: PipelineParams) -> Carry:
         vmap=vmap, col0=jnp.zeros((), jnp.int32),
         win=carry.win._replace(slot=slots),
         rr_touch=jnp.zeros_like(carry.rr_touch),
+        rr_pending=jnp.zeros((), jnp.int32),
     )
 
 
@@ -432,8 +441,9 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     )
     win = _push_window(carry.win, jnp.int32(W - 1), pts_b, var_w, mask,
                        x_post, preint)
-    vmap, win, add_n, ovf, n_sub, rr_touch = _push_recut(
-        carry.vmap, win, carry.col0, carry.rr_touch, carry.jour, pp
+    vmap, win, add_n, ovf, n_sub, rr_touch, rr_pending = _push_recut(
+        carry.vmap, win, carry.col0, carry.rr_touch, carry.rr_pending,
+        carry.jour, pp
     )
 
     # ---- local BA over the window ----
@@ -483,7 +493,7 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
 
     carry = carry._replace(
         x=x_new, vmap=vmap, win=win, jour=jour, last_pos=last_pos,
-        col0=col0, rr_touch=rr_touch,
+        col0=col0, rr_touch=rr_touch, rr_pending=rr_pending,
     )
     # output slimming for the tunneled host link: keyframe points
     # quantized to 1 cm int16 (body-frame range << 327 m), state covs
@@ -719,6 +729,7 @@ def apply_loop_correction(
     return carry._replace(
         x=x, vmap=vmap, win=win, col0=jnp.zeros((), jnp.int32),
         rr_touch=jnp.zeros_like(carry.rr_touch),
+        rr_pending=jnp.zeros((), jnp.int32),
     )
 
 

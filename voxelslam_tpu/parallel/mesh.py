@@ -75,40 +75,68 @@ def carry_shardings(mesh: Mesh):
             init_flat=rep,
             col0=rep,
             rr_touch=rep,
+            rr_pending=rep,
         )
 
     return build
 
 
-def _tiny_problem(n_devices: int):
-    """A tiny but non-trivial steady-step problem used by the dryrun."""
+def _problem(n_devices: int, production: bool = True):
+    """A steady-step problem for the dryrun.  `production=True` uses
+    the bench shapes (n_ds 2048, C 2^15, W 10, V 2048 — VERDICT #7);
+    False keeps the tiny round-1 problem for quick smoke tests."""
     from ..imu import propagation as prop
     from ..map.voxelmap import MapParams
     from ..odom import pipeline as pl
 
-    pp = pl.PipelineParams(
-        map_params=MapParams(capacity=1 << 10, max_probe=8, voxel_size=1.0),
-        win_size=3,
-        n_raw=32 * n_devices,
-        n_ds=16 * n_devices,
-        n_imu=8,
-        max_ba_voxels=64,
-        scatter_passes=1,
-        num_esikf_iter=2,
-        ba_max_iter=1,
-    )
+    if production:
+        pp = pl.PipelineParams(
+            map_params=MapParams(capacity=1 << 15, max_probe=16,
+                                 voxel_size=1.0),
+            win_size=10,
+            n_raw=8192,
+            n_ds=2048,
+            n_imu=32,
+            max_ba_voxels=2048,
+            scatter_passes=1,
+            ba_max_iter=2,
+        )
+    else:
+        pp = pl.PipelineParams(
+            map_params=MapParams(capacity=1 << 10, max_probe=8,
+                                 voxel_size=1.0),
+            win_size=3,
+            n_raw=32 * n_devices,
+            n_ds=16 * n_devices,
+            n_imu=8,
+            max_ba_voxels=64,
+            scatter_passes=1,
+            num_esikf_iter=2,
+            ba_max_iter=1,
+        )
     imu_noise = prop.noise_from_cfg(0.01, 0.1, 1e-4, 1e-4)
     carry = pl.make_empty_carry(pp, imu_noise)
     carry = carry._replace(win_count=jnp.int32(pp.win_size))
 
     rng = np.random.default_rng(0)
     K = pp.n_raw
+    if production:
+        # room-surface points: non-degenerate planes at scale
+        walls = []
+        for axis, lim in ((0, 6.0), (1, 4.5), (2, 2.0)):
+            for sgn in (-1, 1):
+                q = rng.uniform(-6, 6, (K // 6 + 1, 3))
+                q[:, axis] = sgn * lim
+                walls.append(q)
+        pts = np.concatenate(walls)[:K].astype(np.float32)
+    else:
+        pts = rng.uniform(-3, 3, (K, 3)).astype(np.float32)
     inp = pl.ScanInputs(
-        pts=jnp.asarray(rng.uniform(-3, 3, (K, 3)), jnp.float32),
+        pts=jnp.asarray(pts),
         offsets=jnp.asarray(np.linspace(0, 0.1, K), jnp.float32),
         mask=jnp.ones((K,), bool),
         imu=prop.ImuBatch(
-            dt=jnp.full((pp.n_imu,), 0.0125, jnp.float32),
+            dt=jnp.full((pp.n_imu,), 0.1 / pp.n_imu, jnp.float32),
             gyr=jnp.zeros((pp.n_imu, 3), jnp.float32),
             acc=jnp.tile(jnp.asarray([0.0, 0.0, 9.8], jnp.float32), (pp.n_imu, 1)),
             offt=jnp.asarray(np.linspace(0, 0.1, pp.n_imu), jnp.float32),
@@ -120,10 +148,14 @@ def _tiny_problem(n_devices: int):
     return pp, imu_noise, carry, inp
 
 
-def dryrun(n_devices: int, check_vs_single: bool = True) -> None:
+def dryrun(n_devices: int, check_vs_single: bool = True,
+           production: bool = True) -> None:
     """Jit the FULL steady step over an n-device mesh with real
-    shardings, run one step, and (by default) assert the sharded
-    result matches a single-device run of the same step.
+    shardings at PRODUCTION shapes (n_ds 2048, C 2^15, W 10), run one
+    step, and (by default) assert the sharded result matches a
+    single-device run of the same step; then assert the voxel-sharded
+    window BA (`opt.li_ba(mesh=...)` — the production BA entry point)
+    matches the unsharded solve on the same harvested factors.
 
     Correctness dryrun for the fork-join/psum inventory of SURVEY
     §2.14 (reference fork-join pools, voxel_map.hpp:306-335): the
@@ -133,7 +165,7 @@ def dryrun(n_devices: int, check_vs_single: bool = True) -> None:
     """
     from ..odom import pipeline as pl
 
-    pp, imu_noise, carry, inp = _tiny_problem(n_devices)
+    pp, imu_noise, carry, inp = _problem(n_devices, production)
     ext_R = jnp.eye(3, dtype=jnp.float32)
     ext_t = jnp.zeros(3, jnp.float32)
 
@@ -192,6 +224,35 @@ def dryrun(n_devices: int, check_vs_single: bool = True) -> None:
         np.asarray(h8), np.asarray(h1), rtol=1e-3, atol=1e-4
     )
 
+    # PRODUCTION BA path: li_ba with the mesh (voxel-sharded factor
+    # evaluation + ICI psum inside the LM loop) must match the
+    # unsharded solve
+    from ..lba import optimizer as opt
+
+    xs = new_carry_1.win.xs
+    pres = new_carry_1.win.pres
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        factors_s = jax.device_put(
+            factors,
+            jax.tree.map(
+                lambda _: NamedSharding(mesh, P("data")), factors
+            ),
+        )
+        xs_s = jax.device_put(xs, jax.tree.map(lambda _: rep, xs))
+        pres_s = jax.device_put(pres, jax.tree.map(lambda _: rep, pres))
+        ba_s = opt.li_ba(xs_s, factors_s, pres_s, max_iter=1, mesh=mesh)
+        jax.block_until_ready(ba_s.xs.p)
+    ba_1 = opt.li_ba(xs, factors, pres, max_iter=1)
+    np.testing.assert_allclose(
+        np.asarray(ba_s.xs.p), np.asarray(ba_1.xs.p),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ba_s.hess), np.asarray(ba_1.hess),
+        atol=1e-2, rtol=1e-3,
+    )
+
 
 def sharded_lidar_hessian(factors, R, p, mesh: Mesh):
     """BA Hessian assembly sharded over VOXELS: each device evaluates
@@ -208,31 +269,13 @@ def sharded_lidar_hessian(factors, R, p, mesh: Mesh):
     """
     from ..lba import lidar_factor as lf
 
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    fact_specs = jax.tree.map(lambda _: P("data"), factors)
     # distribute operands onto the mesh (callers typically hold them
     # on one device)
+    fact_specs = jax.tree.map(lambda _: P("data"), factors)
     factors = jax.device_put(
         factors, jax.tree.map(lambda s: NamedSharding(mesh, s), fact_specs)
     )
     R = jax.device_put(R, NamedSharding(mesh, P()))
     p = jax.device_put(p, NamedSharding(mesh, P()))
-
-    def local(fact, R, p):
-        _, cache = lf.evaluate_residual(fact, R, p)
-        resid, grad, hess = lf.evaluate_hess(fact, cache, R, p)
-        return (
-            jax.lax.psum(resid, "data"),
-            jax.lax.psum(grad, "data"),
-            jax.lax.psum(hess, "data"),
-        )
-
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(fact_specs, P(), P()),
-        out_specs=(P(), P(), P()),
-    )
-    return fn(factors, R, p)
+    assemble, _ = lf.sharded_eval(mesh)
+    return assemble(factors, R, p)

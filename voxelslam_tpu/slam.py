@@ -646,7 +646,8 @@ class VoxelSLAM:
         while self._drained < len(self.frontend.scan_poses):
             sp = self.frontend.scan_poses[self._drained]
             self._drained += 1
-            event = self.loop.push_scan_pose(sp)
+            with self.frontend.telemetry.stage("loop"):
+                event = self.loop.push_scan_pose(sp)
             if event is not None:
                 self.loop_events.append(event)
                 self.frontend.apply_loop_correction(event)
