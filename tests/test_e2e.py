@@ -118,3 +118,37 @@ class TestEndToEnd:
         # matches found on every steady scan
         steady = [r for r in fe.records if r.match_count > 0]
         assert len(steady) >= 5
+
+
+def test_pvec_downsample_flag_e2e(synth_data=None):
+    """down_sampling_pvec parity flag: averaged per-point covariances
+    (voxel_map.hpp:24-65) keep the pipeline accurate end to end."""
+    import dataclasses
+    import numpy as np
+    from voxelslam_tpu.core import synthetic as syn
+    from voxelslam_tpu.slam import SlamFrontend
+
+    traj = syn.Trajectory(amp=np.array([1.2, 0.9, 0.2]), ramp=1.5,
+                          t_start=1.0)
+    data = syn.simulate(
+        n_scans=20, traj=traj,
+        dirs=syn.lidar_dirs(20, 80, fov_v=55.0, fov_h=140.0),
+        t0=0.5, seed=7,
+    )
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg, odometry=dataclasses.replace(cfg.odometry, pvec_downsample=1)
+    )
+    fe = SlamFrontend(cfg)
+    fe.run_synthetic(data)
+    assert fe.phase == "STEADY"
+    ts, Rs, ps = fe.trajectory()
+    errs = []
+    for i in range(len(ts)):
+        j = int(np.argmin(np.abs(data.gt_t - ts[i])))
+        errs.append(np.linalg.norm(ps[i] - data.gt_p[j]))
+    errs = np.array(errs)
+    n_tail = max(len(errs) // 2, 1)
+    ate_tail = np.sqrt(np.mean(errs[-n_tail:] ** 2))
+    assert np.isfinite(errs).all()
+    assert ate_tail < 0.06, f"pvec-flag ATE tail {ate_tail:.3f} m"

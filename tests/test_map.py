@@ -418,3 +418,38 @@ class TestIncrementalPush:
         )
         # the last window column is empty after the slide
         assert float(jnp.sum(vm.win_n[:, -1])) == 0.0
+
+
+def test_pvec_downsample_matches_numpy():
+    """down_sampling_pvec parity (voxel_map.hpp:24-65): centroid AND
+    averaged covariance per voxel must match a direct numpy groupby."""
+    import numpy as np
+    import jax.numpy as jnp
+    from voxelslam_tpu.ops import downsample
+    from voxelslam_tpu.core import hashing
+
+    rng = np.random.default_rng(5)
+    N, M = 400, 256
+    pts = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    var = rng.uniform(0.1, 1.0, (N, 3, 3)).astype(np.float32)
+    var = (var + var.transpose(0, 2, 1)) / 2
+    mask = rng.random(N) < 0.9
+    size = 1.0
+    ds, var_out = downsample.voxel_average_pvec(
+        jnp.asarray(pts), jnp.asarray(var), jnp.asarray(mask), size, M
+    )
+    ds_pts = np.asarray(ds.pts)[np.asarray(ds.mask)]
+    ds_var = np.asarray(var_out)[np.asarray(ds.mask)]
+    # numpy reference
+    ids = np.floor(pts[mask] / size).astype(np.int64)
+    groups = {}
+    for k, p, v in zip(map(tuple, ids), pts[mask], var[mask]):
+        groups.setdefault(k, []).append((p, v))
+    assert len(ds_pts) == len(groups)
+    got = {tuple(np.round(p, 3)): v for p, v in zip(ds_pts, ds_var)}
+    for members in groups.values():
+        pm = np.mean([p for p, _ in members], axis=0)
+        vm = np.mean([v for _, v in members], axis=0)
+        kq = tuple(np.round(pm, 3))
+        assert kq in got, kq
+        np.testing.assert_allclose(got[kq], vm, atol=1e-4)

@@ -49,3 +49,19 @@ class TestViz:
         assert "map_path.ply" in files
         assert "map_cmap.ply" in files
         assert any(f.startswith("map_pmap") for f in files)
+
+
+def test_viz_stream_frames(tmp_path):
+    """--viz-stream support: stream_frame updates map_scan.ply in
+    place and appends numbered frames so a run can be watched."""
+    import numpy as np
+    from voxelslam_tpu.io import viz
+
+    ex = viz.VizExporter(str(tmp_path), every=2)
+    for i in range(6):
+        pts = np.random.default_rng(i).normal(size=(50, 3))
+        ex.stream_frame(pts, positions=np.zeros((i + 1, 3)))
+    frames = sorted((tmp_path / "frames").glob("scan_*.ply"))
+    assert len(frames) == 3  # every=2 over 6 calls
+    assert (tmp_path / "map_scan.ply").exists()
+    assert (tmp_path / "map_path.ply").exists()

@@ -52,6 +52,14 @@ def cmd_run(args):
 
     imu, scan_files = _load_dataset(args.dataset)
     slam = VoxelSLAM(cfg, previous_sessions=previous)
+    streamer = None
+    streamed = 0
+    if getattr(args, "viz_stream", False) and args.out:
+        from .io import viz as _viz
+
+        streamer = _viz.VizExporter(
+            args.out, every=getattr(args, "viz_every", 10)
+        )
     t0 = time.time()
     n = 0
     for f in scan_files:
@@ -61,6 +69,15 @@ def cmd_run(args):
             imu["t"], imu["gyr"], imu["acc"],
         )
         n += 1
+        if streamer is not None:
+            sps = slam.frontend.scan_poses
+            while streamed < len(sps):
+                sp = sps[streamed]
+                streamed += 1
+                pw = sp["pts"][sp["mask"]] @ sp["R"].T + sp["p"]
+                streamer.stream_frame(
+                    pw, np.stack([s["p"] for s in sps[: streamed]]),
+                )
         if n % 50 == 0:
             print(f"  scan {n}/{len(scan_files)} "
                   f"phase={slam.frontend.phase} "
@@ -178,6 +195,10 @@ def main(argv=None):
     r.add_argument("--config", default=None)
     r.add_argument("--out", default=None)
     r.add_argument("--viz", action="store_true")
+    r.add_argument("--viz-stream", action="store_true",
+                   help="write live map_scan/map_path PLYs + numbered "
+                        "frames during the run (watchable)")
+    r.add_argument("--viz-every", type=int, default=10)
     r.add_argument("--finish", action="store_true",
                    help="run final global BA (the reference's "
                         "`rosparam set finish true`)")

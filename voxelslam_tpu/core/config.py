@@ -51,6 +51,10 @@ class OdometryCfg:
     #   bound (voxelslam.cpp:651-658); count-scaled, lower for sparse rigs
     evict_dist: float = 700.0  # drop voxels this much travel behind
     #   (voxelslam.cpp:1509); eviction is checked every evict_dist/8 m
+    pvec_downsample: int = 0  # 1: down_sampling_pvec parity (average
+    #   per-point covariances jointly with the centroid,
+    #   voxel_map.hpp:24-65) instead of recomputing noise at the
+    #   representative point
 
 
 @dataclass(frozen=True)

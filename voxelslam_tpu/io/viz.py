@@ -83,6 +83,27 @@ class VizExporter:
         if self._due("map_scan"):
             write_ply(os.path.join(self.dir, "map_scan.ply"), pts_world)
 
+    def stream_frame(self, pts_world: np.ndarray,
+                     positions: Optional[np.ndarray] = None):
+        """Live-watch channel (cli `--viz-stream`): update
+        map_scan.ply / map_path.ply IN PLACE (a viewer polling the
+        files sees the run progress, like the reference's /map_scan
+        and /map_path topics) AND append a numbered frame under
+        frames/ so a finished run can be replayed."""
+        c = self._n.get("stream", 0)
+        self._n["stream"] = c + 1
+        if c % self.every:
+            return
+        write_ply(os.path.join(self.dir, "map_scan.ply"), pts_world)
+        fdir = os.path.join(self.dir, "frames")
+        os.makedirs(fdir, exist_ok=True)
+        write_ply(os.path.join(fdir, f"scan_{c:05d}.ply"), pts_world)
+        if positions is not None and len(positions):
+            trajectory_ply(
+                os.path.join(self.dir, "map_path.ply"),
+                np.asarray(positions),
+            )
+
     def local_map(self, pts_world: np.ndarray):
         if self._due("map_cmap"):
             write_ply(os.path.join(self.dir, "map_cmap.ply"), pts_world)

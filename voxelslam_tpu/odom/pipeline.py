@@ -85,6 +85,13 @@ class PipelineParams(NamedTuple):
     # ATE-neutral there (round-2 bench: 0.0066) and saves ~15% step
     # time.  Default stays n_ds for safety in unmeasured worlds.
     refit_size: int = 2048
+    # down_sampling_pvec parity flag (voxel_map.hpp:24-65): average
+    # per-point covariances jointly with the centroid instead of
+    # recomputing the noise model at the representative point.
+    # Measured ATE-neutral on the synthetic rooms (see
+    # tests/test_map.py::test_pvec_downsample_*); costs a body_var at
+    # n_raw instead of n_ds.
+    pvec_downsample: bool = False
 
 
 class WindowState(NamedTuple):
@@ -203,18 +210,40 @@ def _front_end(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     desk = prop.deskew(inp.pts, inp.offsets, inp.mask, poses, x_prop,
                        ext_R, ext_t)
 
-    ds = downsample.voxel_average(desk, inp.mask, pp.down_size, pp.n_ds)
-    # adaptive fallback: halve the leaf if too few points (1577-1581)
-    n_found = jnp.sum(ds.mask)
+    if pp.pvec_downsample:
+        # down_sampling_pvec parity path: per-RAW-point noise model,
+        # then joint (point, var) voxel average (voxel_map.hpp:24-65)
+        var_raw = noise.body_var(desk, pp.dept_err, pp.beam_err)
 
-    def finer(_):
-        return downsample.voxel_average(
-            desk, inp.mask, pp.down_size / 2, pp.n_ds
+        def dsp(size):
+            return downsample.voxel_average_pvec(
+                desk, var_raw, inp.mask, size, pp.n_ds
+            )
+
+        ds, var_l = dsp(pp.down_size)
+        n_found = jnp.sum(ds.mask)
+        ds, var_l = jax.lax.cond(
+            n_found < pp.min_ds_points,
+            lambda _: dsp(pp.down_size / 2),
+            lambda _: (ds, var_l),
+            None,
         )
+    else:
+        ds = downsample.voxel_average(desk, inp.mask, pp.down_size,
+                                      pp.n_ds)
+        # adaptive fallback: halve the leaf if too few points
+        # (1577-1581)
+        n_found = jnp.sum(ds.mask)
 
-    ds = jax.lax.cond(n_found < pp.min_ds_points, finer, lambda _: ds, None)
+        def finer(_):
+            return downsample.voxel_average(
+                desk, inp.mask, pp.down_size / 2, pp.n_ds
+            )
 
-    var_l = noise.body_var(ds.pts, pp.dept_err, pp.beam_err)
+        ds = jax.lax.cond(
+            n_found < pp.min_ds_points, finer, lambda _: ds, None
+        )
+        var_l = noise.body_var(ds.pts, pp.dept_err, pp.beam_err)
     pts_b, var_b = noise.to_body_frame(ds.pts, var_l, ext_R, ext_t)
 
     x_prior = x_prop._replace(cov=x_prop.cov * prior_deweight)

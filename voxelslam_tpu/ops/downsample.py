@@ -74,6 +74,39 @@ def voxel_average(
     return Downsampled(out, out_mask, n_seg, None)
 
 
+def voxel_average_pvec(
+    pts: jnp.ndarray,  # (N, 3)
+    var: jnp.ndarray,  # (N, 3, 3) per-point covariances
+    mask: jnp.ndarray,
+    voxel_size,
+    m_out: int,
+):
+    """Joint (point, covariance) average per voxel — the reference's
+    `down_sampling_pvec` (voxel_map.hpp:24-65): the representative
+    point is the centroid and its covariance is the AVERAGE of the
+    constituents' covariances (the reference stashes diag(var) in the
+    normal fields; here the full 3x3 rides along).
+
+    Returns (Downsampled, var_out (M, 3, 3))."""
+    order, seg_id, mask_s, n_seg = _segments(pts, mask, voxel_size)
+    pts_s = pts[order]
+    var_s = var[order].reshape(-1, 9)
+    dst = jnp.where(mask_s, seg_id, m_out)
+    vals = jnp.concatenate(
+        [pts_s, var_s, mask_s[:, None].astype(pts.dtype)], axis=-1
+    )
+    vals = jnp.where(mask_s[:, None], vals, 0.0)
+    sums = segsum.sorted_segment_add(
+        jnp.zeros((m_out, 13), pts.dtype), dst, vals
+    )
+    cnts = sums[:, 12]
+    out_mask = cnts > 0
+    inv = 1.0 / jnp.maximum(cnts, 1.0)
+    out = sums[:, 0:3] * inv[:, None]
+    var_out = (sums[:, 3:12] * inv[:, None]).reshape(-1, 3, 3)
+    return Downsampled(out, out_mask, n_seg, None), var_out
+
+
 def voxel_closest(
     pts: jnp.ndarray,
     mask: jnp.ndarray,

@@ -91,6 +91,7 @@ class SlamFrontend:
             imu_coef=c.local_ba.imu_coef,
             ba_max_iter=c.local_ba.max_iter,
             refit_size=sh.refit_size or sh.max_points,
+            pvec_downsample=bool(c.odometry.pvec_downsample),
         )
         self.imu_noise = prop.noise_from_cfg(
             c.odometry.cov_gyr, c.odometry.cov_acc,
