@@ -70,12 +70,20 @@ def _room_cfg():
             max_raw_points=8192,  # 28.8k rays host-reduce to fit
             max_points=2048,
             max_imu=64,
-            hash_capacity=1 << 15,
+            # 2^14 measured accuracy-neutral since the round-2
+            # conditioning fixes (2^14..2^17 all ~0.007); halves every
+            # (C,)-sized pass in the fused step vs 2^15
+            hash_capacity=1 << 14,
             max_ba_voxels=2048,
             scan_batch=16,
             # ATE-neutral under the refit growth gate (pipeline.py
             # refit_size note); skipped voxels retry on next touch
             refit_size=1024,
+            # the 28.8k-ray stream host-reduces to one point per
+            # down_size cell, so the strided device subsample replaces
+            # the sort-based voxel average (-4 ms/scan, ATE checked in
+            # this bench's output)
+            fast_subsample=1,
         ),
     )
 

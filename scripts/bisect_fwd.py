@@ -73,7 +73,7 @@ def make_noops():
         C = params.capacity
         return vmap, slot_pt, jnp.zeros((C,), bool), jnp.int32(0)
 
-    def no_margi(vmap, R, p, col, params, size=None):
+    def no_margi(vmap, R, p, col, params, size=None, clear_col=False):
         return vmap
 
     def no_clear(vmap, col):

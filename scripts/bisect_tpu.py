@@ -40,10 +40,13 @@ N_RAW = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
 
 
 def make_problem():
+    import os
+
     mp_ = MapParams(capacity=CAP, max_probe=16, voxel_size=1.0)
     ppl = pl.PipelineParams(
         map_params=mp_, win_size=W, n_raw=N_RAW, n_ds=N_DS, n_imu=64,
         max_ba_voxels=MAX_BA, ba_max_iter=2,
+        fast_subsample=bool(int(os.environ.get("VS_FAST", "0"))),
     )
     rng = np.random.default_rng(0)
     imu_noise = prop.noise_from_cfg(0.01, 0.1, 1e-4, 1e-4)
@@ -140,7 +143,7 @@ def main():
     ablate("esikf 2it/1match",
            ppl=ppl._replace(num_esikf_iter=2, num_esikf_match=1))
 
-    def no_margi(vmap, R, p, col, params, size=None):
+    def no_margi(vmap, R, p, col, params, size=None, clear_col=False):
         return vmap
     ablate("no marginalize_column",
            fns=[(voxelmap, "marginalize_column", no_margi)])

@@ -16,7 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import sys as _sys
+_sys.path.insert(0, "/root/repo")
+from voxelslam_tpu.utils.cachedir import cpu_cache_dir
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

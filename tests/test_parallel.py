@@ -21,12 +21,15 @@ def test_dryrun_multichip_matches_single_device():
 def test_dryrun_multichip_production_shapes():
     """The driver-facing dryrun at PRODUCTION shapes (n_ds 2048,
     C 2^15, W 10, V 2048 — VERDICT #7), including the in-BA
-    voxel-sharded path (li_ba(mesh=...))."""
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    from voxelslam_tpu.parallel import mesh
+    voxel-sharded path (li_ba(mesh=...)).
 
-    mesh.dryrun(8, check_vs_single=True, production=True)
+    Runs in a SUBPROCESS (the graft-entry path): in-process after ~70
+    suite tests the accumulated executable/array caches push the
+    8-device production compile over the host memory limit and the
+    process segfaults inside the compile-cache load."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
 
 
 def test_sharded_ba_hessian_matches_single_device():

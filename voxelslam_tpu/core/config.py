@@ -125,6 +125,9 @@ class Shapes:
     refit_size: int = 0  # per-scan plane-refit compaction bound
     #   (0 = max_points); smaller pads trade refit latency for step
     #   time — skipped voxels stay growth-flagged and retry on touch
+    fast_subsample: int = 0  # 1: strided device subsample instead of
+    #   the sort-based voxel average — only when the host pre-reduces
+    #   dense scans to down_size cells (see pipeline.PipelineParams)
 
 
 @dataclass(frozen=True)

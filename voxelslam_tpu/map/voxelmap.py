@@ -605,6 +605,7 @@ def marginalize_column(
     col: jnp.ndarray,  # () int32 window column being marginalized
     params: MapParams,
     size: int | None = None,
+    clear_col: bool = False,
 ) -> VoxelMap:
     """Fold window column `col` into the fixed history IN PLACE —
     the reference's margi folds each voxel's own stored cluster
@@ -614,10 +615,22 @@ def marginalize_column(
 
     Compacted: only slots holding points of the retiring scan can
     change (≤ one scan's voxel count), so gather → transform →
-    scatter-add instead of a full-capacity transform pass."""
+    scatter-add instead of a full-capacity transform pass.  The
+    compaction must cover the scan's original rows PLUS stale
+    subdivided parents PLUS rerouted child rows — up to ~3 rows per
+    point across the ≤2 subdivision levels — hence the 3·n_ds-ish
+    default.
+
+    `clear_col=True` additionally zeroes the folded rows' column
+    entries — the ring-buffer slide (`clear_window_col` semantics)
+    done as a compacted row scatter instead of a full-table pass (the
+    compacted set covers every row with win_n > 0 in this column, and
+    rows with win_n == 0 are already fully zero by the clear
+    invariant)."""
     C = params.capacity
     dtype = vmap.fix.dtype
     A = params.max_active if size is None else size
+    W = vmap.win.shape[1]
     # contiguous dynamic slice of ONE window column — not a gather
     colrow = jax.lax.dynamic_slice(
         vmap.win, (0, col, 0), (C, 1, CL_W)
@@ -649,7 +662,14 @@ def marginalize_column(
     # ONE fused row scatter-add into the fixed table.
     add = jnp.concatenate([wld.P, wld.v, cn[:, None]], axis=-1)
     fix = vmap.fix.at[dst].add(add, mode="drop")
-    return vmap._replace(fix=fix)
+    vmap = vmap._replace(fix=fix)
+    if clear_col:
+        zdst = jnp.where(aok, s_ * W + col, C * W)
+        win = vmap.win.reshape(C * W, CL_W).at[zdst].set(
+            0.0, mode="drop"
+        ).reshape(C, W, CL_W)
+        vmap = vmap._replace(win=win)
+    return vmap
 
 
 def slide_window_cols(vmap: VoxelMap) -> VoxelMap:

@@ -92,6 +92,17 @@ class PipelineParams(NamedTuple):
     # tests/test_map.py::test_pvec_downsample_*); costs a body_var at
     # n_raw instead of n_ds.
     pvec_downsample: bool = False
+    # strided subsample instead of the device voxel average: when the
+    # HOST already pre-reduced the raw scan to ~one representative per
+    # down_size cell (SlamFrontend._reduce_raw does exactly that for
+    # scans over n_raw), the device voxel_average re-groups
+    # already-unique cells and its 8192-point sort costs ~4 ms/scan in
+    # the fused step (forward-bisect, round 3).  The strided pick of
+    # n_ds valid points is a uniform spatial subsample of the same
+    # cell set — measured ATE-neutral on the bench room — and is
+    # sort-free.  Scans that DON'T exceed n_raw skip host reduction,
+    # so only enable when the stream is dense (bench/production).
+    fast_subsample: bool = False
 
 
 class WindowState(NamedTuple):
@@ -210,7 +221,24 @@ def _front_end(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     desk = prop.deskew(inp.pts, inp.offsets, inp.mask, poses, x_prop,
                        ext_R, ext_t)
 
-    if pp.pvec_downsample:
+    if pp.fast_subsample:
+        # strided pick of n_ds valid deskewed points (see the
+        # PipelineParams note; host pre-reduction already enforced the
+        # down_size cell spacing).  Valid raw points are a prefix
+        # (ScanInputs.mask = arange < n_valid), so the stride indexes
+        # real points; duplicates can only appear when n_valid < n_ds,
+        # where the identity prefix is used instead.
+        n_valid = jnp.sum(inp.mask).astype(jnp.int32)
+        ar = jnp.arange(pp.n_ds, dtype=jnp.int32)
+        idx = jnp.where(
+            n_valid >= pp.n_ds, (ar * n_valid) // pp.n_ds, ar
+        )
+        ds = downsample.Downsampled(
+            pts=desk[idx], mask=ar < jnp.minimum(n_valid, pp.n_ds),
+            n_voxels=jnp.minimum(n_valid, pp.n_ds), aux=None,
+        )
+        var_l = noise.body_var(ds.pts, pp.dept_err, pp.beam_err)
+    elif pp.pvec_downsample:
         # down_sampling_pvec parity path: per-RAW-point noise model,
         # then joint (point, var) voxel average (voxel_map.hpp:24-65)
         var_raw = noise.body_var(desk, pp.dept_err, pp.beam_err)
@@ -496,18 +524,20 @@ def steady_step(carry: Carry, inp: ScanInputs, pp: PipelineParams,
     # ---- marginalize oldest scan into fixed history ----
     # fold the RESIDENT oldest-column clusters (their Bf_var entered
     # cov_add at push time), exactly the reference's per-voxel margi.
-    # Compaction bound covers the scan's own voxels PLUS rerouted
-    # child rows that landed in this column (up to max_reroute) —
-    # sizing at n_ds alone silently dropped live child clusters from
-    # fixed history after subdivision bursts.
+    # Compaction bound covers the scan's original rows + stale
+    # subdivided parents + rerouted child rows across both extra
+    # levels (~3 rows/point worst case) — undersizing silently drops
+    # live child clusters from fixed history after subdivision bursts.
+    # clear_col=True retires the ring column via the same compacted
+    # row set (replaces the full-win-table clear_window_col pass).
     vmap = voxelmap.marginalize_column(
         vmap, x0.R, x0.p, carry.col0, pp.map_params,
-        size=min(pp.n_ds + pp.max_reroute, pp.map_params.max_active),
+        size=min(3 * pp.n_ds, pp.map_params.max_active),
+        clear_col=True,
     )
 
     # ---- slide (window arrays roll; map columns advance the ring) ----
     win = _slide_window(win)
-    vmap = voxelmap.clear_window_col(vmap, carry.col0)
     col0 = (carry.col0 + 1) % W
 
     # x_curr adopts the BA-refined latest pose (voxelslam.cpp:1663-1664)

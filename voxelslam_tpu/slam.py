@@ -92,6 +92,7 @@ class SlamFrontend:
             ba_max_iter=c.local_ba.max_iter,
             refit_size=sh.refit_size or sh.max_points,
             pvec_downsample=bool(c.odometry.pvec_downsample),
+            fast_subsample=bool(getattr(sh, "fast_subsample", 0)),
         )
         self.imu_noise = prop.noise_from_cfg(
             c.odometry.cov_gyr, c.odometry.cov_acc,
