@@ -167,8 +167,10 @@ class LoopManager:
         # keyframe gating: skip near-static scans (voxelslam.cpp:1932-1939)
         if self._last_kf_pose is not None:
             R_last, p_last = self._last_kf_pose
-            dR = so3.log(jnp.asarray(R_last.T @ sp["R"], jnp.float32))
-            rot = float(np.linalg.norm(np.asarray(dR)))
+            # host-side rotation angle (a device so3.log here costs a
+            # full tunnel round-trip PER SCAN on the axon device)
+            ctheta = 0.5 * (np.trace(R_last.T @ sp["R"]) - 1.0)
+            rot = float(np.arccos(np.clip(ctheta, -1.0, 1.0)))
             tra = float(np.linalg.norm(sp["p"] - p_last))
             if rot < self.min_kf_rot and tra < self.min_kf_trans:
                 return None
