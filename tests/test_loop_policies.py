@@ -225,7 +225,8 @@ class TestOneEdgePerSession:
         session and a previous session pushes one edge per session
         (reference SearchLoop per session, voxelslam.cpp:1987-2069)."""
         mgr, kf, tgt_cross = self._setup(monkeypatch)
-        ev = mgr._process_keyframe(kf)
+        raw = np.zeros((64, 3), np.float32)
+        ev = mgr._process_keyframe(kf, raw, np.ones(64, bool))
         sess_pairs = {(e.s1, e.s2) for e in mgr.loop_edges}
         assert (0, 1) in sess_pairs, "cross-session edge missing"
         assert (1, 1) in sess_pairs, "same-session edge missing"
@@ -256,48 +257,35 @@ class TestOneEdgePerSession:
         mgr.keyframes = [tgt_cross, tgt_same, kf]
 
         import numpy as _np
-        import jax.numpy as jnp
+        from voxelslam_tpu.loop import database as _dbm
+        from voxelslam_tpu.loop import icp as _icpm
 
-        class _P:  # minimal PlaneCloud-alike
-            center = jnp.zeros((4, 3))
-            normal = jnp.zeros((4, 3))
-            valid = jnp.zeros((4,), bool)
-
-        monkeypatch.setattr(
-            manager.btc, "extract", lambda *a, **k: (_P, None)
+        # stub the fused device program (manager.keyframe_program): the
+        # candidates verify against BOTH sessions with init transforms
+        # consistent with the estimates (drift ~0 → every plausibility
+        # gate passes); the host accept/edge policy is what's under test
+        n = mgr.n_icp
+        frame = _np.full(n, -1, _np.int32)
+        frame[:2] = [0, 1]
+        Rc = _np.tile(_np.eye(3, dtype=_np.float32), (n, 1, 1))
+        tc = _np.zeros((n, 3), _np.float32)
+        tc[0] = kf.p0 - tgt_cross.p0
+        tc[1] = kf.p0 - tgt_same.p0
+        cands = _dbm.LoopCandidates(
+            frame=frame, score=_np.where(frame >= 0, 1.0, -1.0),
+            R=Rc, t=tc, votes=_np.full(n, 10, _np.int32),
+        )
+        rs = _icpm.IcpResult(
+            R=Rc, t=tc,
+            accepted=_np.ones(n, bool),
+            converged=_np.ones(n, bool),
+            min_eig=_np.full(n, 100.0, _np.float32),
+            match_count=_np.full(n, 64, _np.int32),
         )
 
-        class _C:
-            frame = _np.asarray([0, 1, -1])
-            R = _np.tile(_np.eye(3, dtype=_np.float32), (3, 1, 1))
-            # init transforms consistent with the estimates (drift ~0)
-            t = _np.stack([
-                kf.p0 - tgt_cross.p0,
-                kf.p0 - tgt_same.p0,
-                _np.zeros(3),
-            ]).astype(_np.float32)
+        def fake_program(db_state, raw_pts, raw_mask, count, frame_id,
+                         session_id, **kw):
+            return db_state, raw_pts, raw_mask, cands, rs
 
-        monkeypatch.setattr(
-            manager.database, "search", lambda *a, **k: _C
-        )
-        monkeypatch.setattr(
-            type(mgr.db), "add", lambda *a, **k: None
-        )
-        # db plane store indexed by frame id
-        mgr.db.kf_plane_c = _np.zeros((4, 4, 3), _np.float32)
-        mgr.db.kf_plane_n = _np.zeros((4, 4, 3), _np.float32)
-        mgr.db.kf_plane_v = _np.zeros((4, 4), bool)
-
-        class _Icp:
-            accepted = True
-
-        def fake_icp(qc, qn, qv, tc, tn, tv, R0, t0, icp_eigval=10.0):
-            # echo the init transform: measurement consistent with the
-            # estimates (drift ~0, so every plausibility gate passes)
-            r = _Icp()
-            r.R = _np.asarray(R0, _np.float32)
-            r.t = _np.asarray(t0, _np.float32)
-            return r
-
-        monkeypatch.setattr(manager.icp, "icp_plane", fake_icp)
+        monkeypatch.setattr(manager, "keyframe_program", fake_program)
         return mgr, kf, tgt_cross

@@ -67,6 +67,9 @@ def test_cross_session_merge():
         ev = mgr.push_scan_pose(s)
         if ev is not None:
             events.append(ev)
+    ev = mgr.flush_pending()  # resolve the in-flight keyframe program
+    if ev is not None:
+        events.append(ev)
     assert mgr.n_loops_found >= 1, "cross-session loop not detected"
     assert len(events) >= 1, "first cross-session link must optimize"
     assert mgr.g_update_pending or True
@@ -115,6 +118,7 @@ def test_loop_recall_multi_revisit():
         for s in _fake_scan_poses(rng, offs):
             mgr.push_scan_pose(s)
         revisit_kfs += len(mgr.keyframes) - n_kf0
+    mgr.flush_pending()  # resolve the in-flight keyframe program
     detections = mgr.n_loops_found - found_before
     recall = detections / max(revisit_kfs, 1)
     assert revisit_kfs >= 3

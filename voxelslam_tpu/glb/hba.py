@@ -152,6 +152,12 @@ class GlobalMapper:
         self.edges: List[dict] = []  # gba_edges1: keyframe-level
         self.submaps: List[dict] = []  # merged submap clouds + poses
         self._next_start: dict = {}  # per-session window cursor
+        # in-flight window BA: (kfs snapshot, device result futures).
+        # Dispatch-and-defer — blocking on each window's result stalls
+        # the whole async frontend pipeline for the device time of the
+        # BA; resolving one call later lets it overlap the steady
+        # batches already in the dispatch queue.
+        self._pending = None
 
     def _by_session(self, keyframes: List) -> dict:
         sessions = {}
@@ -160,22 +166,25 @@ class GlobalMapper:
         return sessions
 
     def bottom_up_incremental(self, keyframes: List) -> int:
-        """Process at most ONE ready window across sessions.  Returns
-        the number of windows processed (0 or 1)."""
+        """Resolve the previously dispatched window (if any), then
+        dispatch at most ONE ready window across sessions.  Returns the
+        number of windows COMPLETED this call (0 or 1)."""
         hp = self.hp
-        for sess, kfs in self._by_session(keyframes).items():
-            start = self._next_start.get(sess, 0)
-            if len(kfs) >= start + hp.win:
-                self._process_window(kfs[start : start + hp.win])
-                self._next_start[sess] = start + hp.stride
-                return 1
-        return 0
+        n_done = self._resolve_pending()
+        if self._pending is None:
+            for sess, kfs in self._by_session(keyframes).items():
+                start = self._next_start.get(sess, 0)
+                if len(kfs) >= start + hp.win:
+                    self._dispatch_window(kfs[start : start + hp.win])
+                    self._next_start[sess] = start + hp.stride
+                    break
+        return n_done
 
     def bottom_up_drain(self, keyframes: List) -> int:
         """Finish-time drain: sweep every remaining window (incl. the
         ragged tail shorter than win but ≥ 2 keyframes)."""
         hp = self.hp
-        n_done = 0
+        n_done = self._resolve_pending()
         for sess, kfs in self._by_session(keyframes).items():
             start = self._next_start.get(sess, 0)
             while len(kfs) - start >= 2:
@@ -203,7 +212,12 @@ class GlobalMapper:
             self._process_window(keyframes[start : start + hp.win])
 
     def _process_window(self, kfs: List) -> None:
-        """One window BA: collect hessian edges + a merged submap."""
+        """One window BA, synchronously (finish drain / offline)."""
+        self._dispatch_window(kfs)
+        self._resolve_pending()
+
+    def _dispatch_window(self, kfs: List) -> None:
+        """Dispatch one window BA; results resolve on a later call."""
         hp = self.hp
         W = len(kfs)
         if W < 2:
@@ -219,13 +233,23 @@ class GlobalMapper:
             mask[i, :m] = k.cloud_mask[:m]
             R[i] = k.R0
             p[i] = k.p0
-        R2, p2, edges, n_fact = window_ba(
+        out = window_ba(
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(p), hp,
         )
-        R2 = np.asarray(R2)
-        p2 = np.asarray(p2)
-        ev = np.asarray(edges.valid)
+        self._pending = (list(kfs), out)
+
+    def _resolve_pending(self) -> int:
+        """Fold the in-flight window's results into edges/submaps."""
+        if self._pending is None:
+            return 0
+        kfs, (R2, p2, edges, n_fact) = self._pending
+        self._pending = None
+        W = len(kfs)
+        # ONE transfer (element-indexing device arrays in the loop
+        # below costs a tunnel round-trip per element on axon)
+        R2, p2, edges = jax.device_get((R2, p2, edges))
+        ev = edges.valid
         for e in range(len(ev)):
             i, j = int(edges.ei[e]), int(edges.ej[e])
             if not ev[e] or i >= W or j >= W:
@@ -235,9 +259,7 @@ class GlobalMapper:
                     kf1=kfs[i].id, kf2=kfs[j].id,
                     scan1=(kfs[i].session, kfs[i].first_scan),
                     scan2=(kfs[j].session, kfs[j].first_scan),
-                    R=np.asarray(edges.Rm[e]),
-                    t=np.asarray(edges.tm[e]),
-                    v6=np.asarray(edges.v6[e]),
+                    R=edges.Rm[e], t=edges.tm[e], v6=edges.v6[e],
                 )
             )
         # merged submap: base = first kf, all clouds re-expressed
@@ -252,6 +274,7 @@ class GlobalMapper:
                  first=kfs[0].id,
                  scan=(kfs[0].session, kfs[0].first_scan))
         )
+        return 1
 
     def submap_level(self, keyframes: Optional[List] = None,
                      max_submaps: int = 16,
@@ -334,7 +357,8 @@ class GlobalMapper:
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(p), hp2,
         )
-        ev = np.asarray(edges.valid)
+        edges = jax.device_get(edges)  # one transfer
+        ev = edges.valid
         out = []
         for e in range(len(ev)):
             i, j = int(edges.ei[e]), int(edges.ej[e])
@@ -342,7 +366,6 @@ class GlobalMapper:
                 continue
             out.append(dict(
                 scan1=subs[i]["scan"], scan2=subs[j]["scan"],
-                R=np.asarray(edges.Rm[e]), t=np.asarray(edges.tm[e]),
-                v6=np.asarray(edges.v6[e]),
+                R=edges.Rm[e], t=edges.tm[e], v6=edges.v6[e],
             ))
         return out

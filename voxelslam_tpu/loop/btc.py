@@ -377,11 +377,13 @@ def _triangles(c: _Corners, p: BtcParams) -> BtcDescriptors:
     d2 = jnp.where(jnp.eye(Cn, dtype=bool), 0.0, d2)
     _, nn = jax.lax.top_k(-d2, K)  # (Cn, K) nearest incl. self at 0
 
-    # all (m, n) pairs with 1 <= m < n < K
-    mi, ni = jnp.triu_indices(K, k=1)
+    # all (m, n) pairs with 1 <= m < n < K (host-side: K is static and
+    # jnp.triu_indices traces under jit, breaking boolean indexing)
+    import numpy as _np
+    mi, ni = _np.triu_indices(K, k=1)
     pair_ok = mi >= 1
-    mi = mi[pair_ok]
-    ni = ni[pair_ok]
+    mi = jnp.asarray(mi[pair_ok])
+    ni = jnp.asarray(ni[pair_ok])
     P = mi.shape[0]  # K*(K-1)/2 - (K-1)
 
     i_idx = jnp.repeat(jnp.arange(Cn, dtype=jnp.int32), P)

@@ -49,62 +49,108 @@ class SearchParams(NamedTuple):
     max_cand_pairs: int = 64  # matched pairs evaluated per candidate frame
 
 
+class DbState(NamedTuple):
+    """Device arrays of the descriptor database — a pytree so the whole
+    per-keyframe loop path (extract → search → add → ICP verify) can run
+    as ONE jitted program (manager.keyframe_program).  On the tunneled
+    axon device each eager op costs a dispatch round-trip, so the loop
+    layer being eager made keyframes cost seconds."""
+
+    sides: jnp.ndarray  # (D, 3)
+    verts: jnp.ndarray  # (D, 3, 3)
+    occ: jnp.ndarray  # (D, 3, CUT) bool
+    summary: jnp.ndarray  # (D, 3)
+    frame: jnp.ndarray  # (D,) int32 keyframe id (-10^6 = empty)
+    # session id per descriptor row: the reference keeps one
+    # STDescManager per session and disables the near-frame gate for
+    # frozen sessions (voxelslam.cpp:401,1869 skip_near_num =
+    # -(size+10)); we store the session inline so skip_near applies
+    # only to same-session keyframes.
+    session: jnp.ndarray  # (D,) int32
+    # per-keyframe plane clouds for geometric verification / ICP
+    kf_plane_c: jnp.ndarray  # (KF, M, 3)
+    kf_plane_n: jnp.ndarray  # (KF, M, 3)
+    kf_plane_v: jnp.ndarray  # (KF, M) bool
+
+
+def empty_state(p: BtcParams, capacity_desc: int, capacity_kf: int,
+                dtype=jnp.float32) -> DbState:
+    M = p.max_vox_planes
+    return DbState(
+        sides=jnp.zeros((capacity_desc, 3), dtype),
+        verts=jnp.zeros((capacity_desc, 3, 3), dtype),
+        occ=jnp.zeros((capacity_desc, 3, p.cut_num), bool),
+        summary=jnp.zeros((capacity_desc, 3), dtype),
+        frame=jnp.full((capacity_desc,), -(10**6), jnp.int32),
+        session=jnp.full((capacity_desc,), -1, jnp.int32),
+        kf_plane_c=jnp.zeros((capacity_kf, M, 3), dtype),
+        kf_plane_n=jnp.zeros((capacity_kf, M, 3), dtype),
+        kf_plane_v=jnp.zeros((capacity_kf, M), bool),
+    )
+
+
+def add_state(st: DbState, desc: BtcDescriptors, planes: PlaneCloud,
+              offset, frame_id, session_id) -> DbState:
+    """AddSTDescs (BTC.cpp:258-277) + plane cloud registration, pure /
+    traceable (offset, frame_id, session_id may be traced scalars)."""
+    offset = jnp.asarray(offset, jnp.int32)
+    frame_id = jnp.asarray(frame_id, jnp.int32)
+    fid = jnp.where(desc.valid, frame_id, -(10**6)).astype(jnp.int32)
+    sid = jnp.where(
+        desc.valid, jnp.asarray(session_id, jnp.int32), -1
+    ).astype(jnp.int32)
+    dus = jax.lax.dynamic_update_slice
+    return st._replace(
+        sides=dus(st.sides, desc.sides, (offset, 0)),
+        verts=dus(st.verts, desc.verts, (offset, 0, 0)),
+        occ=dus(st.occ, desc.occ, (offset, 0, 0)),
+        summary=dus(st.summary, desc.summary, (offset, 0)),
+        frame=dus(st.frame, fid, (offset,)),
+        session=dus(st.session, sid, (offset,)),
+        kf_plane_c=dus(st.kf_plane_c, planes.center[None], (frame_id, 0, 0)),
+        kf_plane_n=dus(st.kf_plane_n, planes.normal[None], (frame_id, 0, 0)),
+        kf_plane_v=dus(st.kf_plane_v, planes.valid[None], (frame_id, 0)),
+    )
+
+
 class Database:
-    """Host-managed device arrays of descriptors + per-keyframe plane
-    clouds.  Rows append per keyframe (device dynamic update)."""
+    """Host wrapper around a DbState; keeps the host-known row/keyframe
+    counts and enforces capacity.  Rows append per keyframe."""
 
     def __init__(self, p: BtcParams, capacity_desc: int = 1 << 17,
                  capacity_kf: int = 2048, dtype=jnp.float32):
         self.p = p
-        T = p.max_triangles
         self.capacity = capacity_desc
-        self.sides = jnp.zeros((capacity_desc, 3), dtype)
-        self.verts = jnp.zeros((capacity_desc, 3, 3), dtype)
-        self.occ = jnp.zeros((capacity_desc, 3, p.cut_num), bool)
-        self.summary = jnp.zeros((capacity_desc, 3), dtype)
-        self.frame = jnp.full((capacity_desc,), -(10**6), jnp.int32)
-        # session id per descriptor row: the reference keeps one
-        # STDescManager per session and disables the near-frame gate for
-        # frozen sessions (voxelslam.cpp:401,1869 skip_near_num =
-        # -(size+10)); we store the session inline so skip_near applies
-        # only to same-session keyframes.
-        self.session = jnp.full((capacity_desc,), -1, jnp.int32)
-        self.count = 0
-        # per-keyframe plane clouds for geometric verification / ICP
-        M = p.max_vox_planes
-        self.kf_plane_c = jnp.zeros((capacity_kf, M, 3), dtype)
-        self.kf_plane_n = jnp.zeros((capacity_kf, M, 3), dtype)
-        self.kf_plane_v = jnp.zeros((capacity_kf, M), bool)
-        self.n_kf = 0
         self.capacity_kf = capacity_kf
+        self.state = empty_state(p, capacity_desc, capacity_kf, dtype)
+        self.count = 0
+        self.n_kf = 0
+
+    # read-only views (tests + manager verify paths)
+    sides = property(lambda s: s.state.sides)
+    verts = property(lambda s: s.state.verts)
+    occ = property(lambda s: s.state.occ)
+    summary = property(lambda s: s.state.summary)
+    frame = property(lambda s: s.state.frame)
+    session = property(lambda s: s.state.session)
+    kf_plane_c = property(lambda s: s.state.kf_plane_c)
+    kf_plane_n = property(lambda s: s.state.kf_plane_n)
+    kf_plane_v = property(lambda s: s.state.kf_plane_v)
+
+    def check_capacity(self, n_rows: int, frame_id: int):
+        if self.count + n_rows > self.capacity:
+            raise RuntimeError("descriptor database full")
+        if frame_id >= self.capacity_kf:
+            raise RuntimeError("keyframe capacity exceeded")
 
     def add(self, desc: BtcDescriptors, planes: PlaneCloud,
             frame_id: int, session_id: int = 0):
-        """AddSTDescs (BTC.cpp:258-277) + plane cloud registration."""
         T = desc.sides.shape[0]
-        if self.count + T > self.capacity:
-            raise RuntimeError("descriptor database full")
-        o = self.count
-        fid = jnp.where(desc.valid, frame_id, -(10**6))
-        sid = jnp.where(desc.valid, session_id, -1).astype(jnp.int32)
-        self.session = jax.lax.dynamic_update_slice(self.session, sid, (o,))
-        self.sides = jax.lax.dynamic_update_slice(self.sides, desc.sides, (o, 0))
-        self.verts = jax.lax.dynamic_update_slice(
-            self.verts, desc.verts, (o, 0, 0)
+        self.check_capacity(T, frame_id)
+        self.state = add_state(
+            self.state, desc, planes, self.count, frame_id, session_id
         )
-        self.occ = jax.lax.dynamic_update_slice(
-            self.occ, desc.occ, (o, 0, 0)
-        )
-        self.summary = jax.lax.dynamic_update_slice(
-            self.summary, desc.summary, (o, 0)
-        )
-        self.frame = jax.lax.dynamic_update_slice(self.frame, fid, (o,))
         self.count += T
-        if frame_id >= self.capacity_kf:
-            raise RuntimeError("keyframe capacity exceeded")
-        self.kf_plane_c = self.kf_plane_c.at[frame_id].set(planes.center)
-        self.kf_plane_n = self.kf_plane_n.at[frame_id].set(planes.normal)
-        self.kf_plane_v = self.kf_plane_v.at[frame_id].set(planes.valid)
         self.n_kf = max(self.n_kf, frame_id + 1)
 
 
@@ -137,16 +183,18 @@ def _kabsch(src: jnp.ndarray, dst: jnp.ndarray):
     return R, t
 
 
-def search(
-    db: Database,
+def search_state(
+    db: DbState,
+    capacity_kf: int,
     query: BtcDescriptors,
     query_planes: PlaneCloud,
-    query_frame: int,
+    query_frame,
     sp: SearchParams,
     target_frames_valid: np.ndarray | None = None,
-    query_session: int = 0,
+    query_session=0,
 ) -> LoopCandidates:
-    """Full SearchLoop (BTC.cpp:205-256) against the database.
+    """Full SearchLoop (BTC.cpp:205-256) against the database; pure /
+    traceable (query_frame and query_session may be traced scalars).
 
     The skip_near gate applies only to keyframes of `query_session`:
     earlier (frozen) sessions are always searchable, matching the
@@ -155,6 +203,8 @@ def search(
     Q = query.sides.shape[0]
     D = db.sides.shape[0]
     dtype = db.sides.dtype
+    query_frame = jnp.asarray(query_frame, jnp.int32)
+    query_session = jnp.asarray(query_session, jnp.int32)
 
     qs = query.sides
     # stage 1: rough side-length gate (Q, D)
@@ -191,13 +241,13 @@ def search(
 
     # stage 3: per-frame votes
     fr = db.frame[pidx]  # (Q, P)
-    fr_safe = jnp.where(pair_ok, fr, db.capacity_kf)
-    votes = jnp.zeros((db.capacity_kf + 1,), jnp.int32).at[
+    fr_safe = jnp.where(pair_ok, fr, capacity_kf)
+    votes = jnp.zeros((capacity_kf + 1,), jnp.int32).at[
         fr_safe.reshape(-1)
-    ].add(1, mode="drop")[: db.capacity_kf]
+    ].add(1, mode="drop")[: capacity_kf]
     if target_frames_valid is not None:
         votes = votes * jnp.asarray(target_frames_valid, jnp.int32)
-    n_cand = min(sp.candidate_num, db.capacity_kf)
+    n_cand = min(sp.candidate_num, capacity_kf)
     cand_votes, cand_frames = jax.lax.top_k(votes, n_cand)
 
     # stage 4+5: verify each candidate frame
@@ -257,4 +307,22 @@ def search(
         R=Rbs[order],
         t=tbs[order],
         votes=bvs[order],
+    )
+
+
+def search(
+    db: Database,
+    query: BtcDescriptors,
+    query_planes: PlaneCloud,
+    query_frame: int,
+    sp: SearchParams,
+    target_frames_valid: np.ndarray | None = None,
+    query_session: int = 0,
+) -> LoopCandidates:
+    """Eager convenience wrapper over `search_state` (tests / offline
+    tools); the production path is manager.keyframe_program."""
+    return search_state(
+        db.state, db.capacity_kf, query, query_planes, query_frame, sp,
+        target_frames_valid=target_frames_valid,
+        query_session=query_session,
     )

@@ -27,14 +27,68 @@ offline maps works (SURVEY.md §2.11).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import so3
 from ..ops import downsample
 from . import btc, database, icp, posegraph
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "p", "sp", "capacity_kf", "n_icp", "icp_eigval", "kf_ds", "m_out"
+    ),
+    donate_argnums=(0,),
+)
+def keyframe_program(
+    db: database.DbState,
+    raw_pts: jnp.ndarray,  # (m_out, 3) merged local cloud, pre-downsample
+    raw_mask: jnp.ndarray,  # (m_out,)
+    count,  # () int32 descriptor write offset
+    frame_id,  # () int32 keyframe id
+    session_id,  # () int32
+    *,
+    p: btc.BtcParams,
+    sp: database.SearchParams,
+    capacity_kf: int,
+    n_icp: int,
+    icp_eigval: float,
+    kf_ds: float,
+    m_out: int,
+):
+    """The ENTIRE per-keyframe loop path as one device program:
+    downsample → BTC extract → database search → db append → ICP-verify
+    the top `n_icp` candidates.  One dispatch + one small fetch per
+    keyframe — running these stages eagerly costs a ~30 ms tunnel
+    round-trip PER OP on the axon device (seconds per keyframe).
+
+    Returns (new_db, ds_pts, ds_mask, candidates, icp_results); the
+    accept/edge policies stay on the host (manager._process_keyframe).
+    """
+    ds = downsample.voxel_average(raw_pts, raw_mask, kf_ds, m_out)
+    planes, desc = btc.extract(ds.pts, ds.mask, p)
+    cands = database.search_state(
+        db, capacity_kf, desc, planes, frame_id, sp,
+        query_session=session_id,
+    )
+    new_db = database.add_state(db, desc, planes, count, frame_id, session_id)
+
+    def one(ci):
+        f = jnp.clip(cands.frame[ci], 0)
+        return icp.icp_plane(
+            planes.center, planes.normal, planes.valid,
+            db.kf_plane_c[f], db.kf_plane_n[f], db.kf_plane_v[f],
+            cands.R[ci], cands.t[ci], icp_eigval=icp_eigval,
+        )
+
+    rs = jax.vmap(one)(jnp.arange(n_icp))
+    return new_db, ds.pts, ds.mask, cands, rs
 
 
 @dataclass
@@ -77,6 +131,7 @@ class LoopManager:
         ratio_drift: float = 0.05,
         curr_halt: int = 10,
         prev_halt: int = 10,
+        n_icp: Optional[int] = None,
     ):
         self.ratio_drift = ratio_drift
         self.curr_halt = curr_halt
@@ -87,6 +142,8 @@ class LoopManager:
         self.kf_downsample = kf_downsample
         self.kf_max_points = kf_max_points
         self.icp_eigval = icp_eigval
+        # candidates ICP-verified in-program per keyframe
+        self.n_icp = n_icp if n_icp else search_params.candidate_num
         self.min_kf_rot = np.deg2rad(min_kf_rot_deg)
         self.min_kf_trans = min_kf_trans
 
@@ -98,6 +155,7 @@ class LoopManager:
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[LoopEdge] = []
         self._pending: List[dict] = []  # scans waiting to form a keyframe
+        self._kf_pending = None  # in-flight keyframe device program
         self._last_kf_pose: Optional[tuple] = None
         self.n_loops_found = 0
         self.n_optimizations = 0
@@ -117,8 +175,18 @@ class LoopManager:
     def session(self) -> int:
         return len(self.sessions) - 1
 
+    def flush_pending(self) -> Optional[dict]:
+        """Resolve the in-flight keyframe (end of stream / before PGO
+        assembly at finish)."""
+        return self._resolve_keyframe()
+
     def new_session(self):
         """reset_flag handling (voxelslam.cpp:1856-1887)."""
+        # resolve the old session's in-flight keyframe first: its PGO
+        # writeback correction targets that session's latest pose, not
+        # the new (reset) one — the event is dropped (the frontend map
+        # was just wiped anyway) but manager poses are corrected.
+        self._resolve_keyframe()
         self.sessions.append([])
         self._pending = []
         self._last_kf_pose = None
@@ -179,15 +247,23 @@ class LoopManager:
         if len(self._pending) < self.win_size:
             return None
 
-        kf = self._build_keyframe(self._pending)
+        kf, raw_pts, raw_mask = self._build_keyframe(self._pending)
         self._pending = []
-        return self._process_keyframe(kf)
+        # dispatch-and-defer: resolve the PREVIOUS keyframe's device
+        # results first (its program has had ~win_size scans of device
+        # time), then dispatch this one.  Resolving immediately would
+        # block on the frontend batch dispatched just before this drain
+        # (~a full batch of device time per keyframe).
+        event = self._resolve_keyframe()
+        self._dispatch_keyframe(kf, raw_pts, raw_mask)
+        return event
 
     # --------------------------------------------------------- keyframes
 
-    def _build_keyframe(self, scans: List[dict]) -> Keyframe:
-        """Merge scans into the base scan's local frame + downsample
-        (voxelslam.cpp:1944-1965)."""
+    def _build_keyframe(self, scans: List[dict]):
+        """Merge scans into the base scan's local frame (host numpy —
+        the downsample runs inside keyframe_program on device;
+        voxelslam.cpp:1944-1965)."""
         base = scans[0]
         R0, p0 = base["R"], base["p"]
         pts_local = []
@@ -198,73 +274,91 @@ class LoopManager:
         pts_local = np.concatenate(pts_local).astype(np.float32)
         n = len(pts_local)
         P = self.kf_max_points
+        if n > P:  # even subsample (plain truncation drops whole scans)
+            pts_local = pts_local[np.linspace(0, n - 1, P).astype(int)]
+            n = P
         pad = np.zeros((P, 3), np.float32)
         msk = np.zeros(P, bool)
-        k = min(n, P)
-        pad[:k] = pts_local[:k]
-        msk[:k] = True
-        ds = downsample.voxel_average(
-            jnp.asarray(pad), jnp.asarray(msk), self.kf_downsample, P
-        )
+        pad[:n] = pts_local
+        msk[:n] = True
         kf = Keyframe(
             session=self.session,
             id=len(self.keyframes),
             first_scan=base["scan_idx"],
             R0=R0,
             p0=p0,
-            cloud=np.asarray(ds.pts),
-            cloud_mask=np.asarray(ds.mask),
+            cloud=pad,  # replaced by the downsampled cloud in
+            cloud_mask=msk,  # _process_keyframe
         )
         self.keyframes.append(kf)
-        return kf
+        return kf, pad, msk
 
-    def _process_keyframe(self, kf: Keyframe) -> Optional[dict]:
-        planes, desc = btc.extract(
-            jnp.asarray(kf.cloud), jnp.asarray(kf.cloud_mask), self.p
-        )
-        cands = database.search(
-            self.db, desc, planes, kf.id, self.sp, query_session=kf.session
-        )
-        self.db.add(desc, planes, kf.id, session_id=kf.session)
+    def _process_keyframe(self, kf: Keyframe, raw_pts: np.ndarray,
+                          raw_mask: np.ndarray) -> Optional[dict]:
+        """Synchronous keyframe processing (tests / offline)."""
+        self._dispatch_keyframe(kf, raw_pts, raw_mask)
+        return self._resolve_keyframe()
 
-        # ICP-verify candidates in descending score order, accepting
-        # AT MOST ONE PER TARGET SESSION — the reference runs
-        # SearchLoop per session and can push one edge per session for
-        # the same keyframe (voxelslam.cpp:1987-2069), so a
-        # same-session accept never shadows a simultaneous
-        # cross-session link (relocalization exactly when maps overlap).
-        frames = np.asarray(cands.frame)
-        accepted = []  # (IcpResult, target Keyframe)
+    def _dispatch_keyframe(self, kf: Keyframe, raw_pts: np.ndarray,
+                           raw_mask: np.ndarray) -> None:
+        assert self._kf_pending is None, (
+            "keyframe dispatched while one is in flight — resolve first"
+        )
+        T = self.p.max_triangles
+        self.db.check_capacity(T, kf.id)
+        new_db, ds_pts, ds_mask, cands_d, rs_d = keyframe_program(
+            self.db.state, jnp.asarray(raw_pts), jnp.asarray(raw_mask),
+            np.int32(self.db.count), np.int32(kf.id), np.int32(kf.session),
+            p=self.p, sp=self.sp, capacity_kf=self.db.capacity_kf,
+            n_icp=self.n_icp, icp_eigval=float(self.icp_eigval),
+            kf_ds=float(self.kf_downsample), m_out=self.kf_max_points,
+        )
+        self.db.state = new_db
+        self.db.count += T
+        self.db.n_kf = max(self.db.n_kf, kf.id + 1)
+        self._kf_pending = (kf, (ds_pts, ds_mask, cands_d, rs_d))
+
+    def _resolve_keyframe(self) -> Optional[dict]:
+        """Fold the in-flight keyframe's results: accept/edge policies
+        + possible PGO.  Called from the NEXT keyframe's dispatch and
+        from flush_pending() (PGO assembly / finish)."""
+        if self._kf_pending is None:
+            return None
+        kf, outs = self._kf_pending
+        self._kf_pending = None
+        # one transfer for everything the host decides on
+        ds_pts, ds_mask, cands, rs = jax.device_get(outs)
+        kf.cloud = np.asarray(ds_pts)
+        kf.cloud_mask = np.asarray(ds_mask)
+
+        # Accept candidates in descending score order, AT MOST ONE PER
+        # TARGET SESSION — the reference runs SearchLoop per session and
+        # can push one edge per session for the same keyframe
+        # (voxelslam.cpp:1987-2069), so a same-session accept never
+        # shadows a simultaneous cross-session link (relocalization
+        # exactly when maps overlap).  ICP already ran in-program for
+        # the top n_icp candidates.
+        accepted = []  # (candidate row, target Keyframe)
         done_sessions = set()
-        for ci in range(frames.shape[0]):
-            frame = int(frames[ci])
+        for ci in range(self.n_icp):
+            frame = int(cands.frame[ci])
             if frame < 0:
                 break  # sorted by score: rest are below threshold
             cand_tgt = self.keyframes[frame]
             if cand_tgt.session in done_sessions:
                 continue
-            tgt_planes = btc.PlaneCloud(
-                center=self.db.kf_plane_c[frame],
-                normal=self.db.kf_plane_n[frame],
-                valid=self.db.kf_plane_v[frame],
-            )
-            r = icp.icp_plane(
-                planes.center, planes.normal, planes.valid,
-                tgt_planes.center, tgt_planes.normal, tgt_planes.valid,
-                cands.R[ci], cands.t[ci], icp_eigval=self.icp_eigval,
-            )
-            if bool(r.accepted):
+            if bool(rs.accepted[ci]):
                 self.n_loops_found += 1
-                accepted.append((r, cand_tgt))
+                accepted.append((ci, cand_tgt))
                 done_sessions.add(cand_tgt.session)
         if not accepted:
             return None
 
         need = False
         opt_tgt = None
-        for res, tgt in accepted:
+        for ci, tgt in accepted:
             pushed, want_opt = self._gate_and_push_edge(
-                kf, np.asarray(res.R), np.asarray(res.t), tgt
+                kf, np.asarray(rs.R[ci]), np.asarray(rs.t[ci]), tgt
             )
             if pushed and want_opt:
                 need = True
@@ -367,7 +461,7 @@ class LoopManager:
             Rm.append(e.R)
             tm.append(e.t)
             w.append(1.0 / np.maximum(e.v6, 1e-8))
-        E = len(ei)
+        E_real = len(ei)
         # One anchor per connected component of sessions (PGO_Edges
         # connect/tras, loop_refine.hpp:163-267): a disconnected
         # session's chain has no gauge otherwise.  Union-find over
@@ -389,16 +483,41 @@ class LoopManager:
         for si, (off, sess) in enumerate(zip(offsets, self.sessions)):
             if sess and find(si) == si:
                 anchor[off] = True
+        # pad poses/edges to size buckets so posegraph.optimize (jitted)
+        # compiles once per bucket instead of once per keyframe-count —
+        # the graph grows every scan, and an unpadded jit would
+        # recompile the GN+PCG program at every optimization
+        N = max(256, 1 << int(np.ceil(np.log2(n))))
+        E = max(512, 1 << int(np.ceil(np.log2(max(E_real, 1)))))
+        Rs_p = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+        Rs_p[:n] = Rs
+        ps_p = np.zeros((N, 3), np.float32)
+        ps_p[:n] = ps
+        ei_p = np.zeros(E, np.int32)
+        ej_p = np.zeros(E, np.int32)
+        Rm_p = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        tm_p = np.zeros((E, 3), np.float32)
+        w_p = np.zeros((E, 6), np.float32)
+        if E_real:
+            ei_p[:E_real] = np.asarray(ei, np.int32)
+            ej_p[:E_real] = np.asarray(ej, np.int32)
+            Rm_p[:E_real] = np.stack(Rm).astype(np.float32)
+            tm_p[:E_real] = np.stack(tm).astype(np.float32)
+            w_p[:E_real] = np.stack(w).astype(np.float32)
+        pose_valid = np.zeros(N, bool)
+        pose_valid[:n] = True
+        edge_valid = np.zeros(E, bool)
+        edge_valid[:E_real] = True
+        anchor_p = np.zeros(N, bool)
+        anchor_p[:n] = anchor
         g = posegraph.PoseGraph(
-            R=jnp.asarray(Rs), p=jnp.asarray(ps),
-            pose_valid=jnp.ones(n, bool),
-            ei=jnp.asarray(np.asarray(ei, np.int32)),
-            ej=jnp.asarray(np.asarray(ej, np.int32)),
-            Rm=jnp.asarray(np.stack(Rm).astype(np.float32)),
-            tm=jnp.asarray(np.stack(tm).astype(np.float32)),
-            w=jnp.asarray(np.stack(w).astype(np.float32)),
-            edge_valid=jnp.ones(E, bool),
-            anchor=jnp.asarray(anchor),
+            R=jnp.asarray(Rs_p), p=jnp.asarray(ps_p),
+            pose_valid=jnp.asarray(pose_valid),
+            ei=jnp.asarray(ei_p), ej=jnp.asarray(ej_p),
+            Rm=jnp.asarray(Rm_p), tm=jnp.asarray(tm_p),
+            w=jnp.asarray(w_p),
+            edge_valid=jnp.asarray(edge_valid),
+            anchor=jnp.asarray(anchor_p),
         )
         return g, offsets
 

@@ -23,6 +23,7 @@ with the gauge fixed by an anchor prior on pose 0 of the root session
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -124,6 +125,10 @@ def _block_jacobi(Ji, Jj, g: PoseGraph, n_poses, anchor_w, dtype):
     return jnp.linalg.inv(blocks)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_iters", "cg_iters", "anchor_weight", "damping"),
+)
 def optimize(
     g: PoseGraph,
     n_iters: int = 8,

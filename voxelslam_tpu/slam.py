@@ -638,7 +638,16 @@ class VoxelSLAM:
         self._drain()
         return rec
 
-    def _drain(self):
+    def _handle_loop_event(self, event: Optional[dict]):
+        if event is None:
+            return
+        self.loop_events.append(event)
+        self.frontend.apply_loop_correction(event)
+        if self.loop.g_update_pending:
+            self.frontend.g_update = True
+            self.loop.g_update_pending = False
+
+    def _drain(self, final: bool = False):
         # session reset propagation (reset_flag, voxelslam.cpp:1856-1887)
         if self.frontend.session != self._last_session:
             self._last_session = self.frontend.session
@@ -650,19 +659,20 @@ class VoxelSLAM:
             self._drained += 1
             with self.frontend.telemetry.stage("loop"):
                 event = self.loop.push_scan_pose(sp)
-            if event is not None:
-                self.loop_events.append(event)
-                self.frontend.apply_loop_correction(event)
-                if self.loop.g_update_pending:
-                    self.frontend.g_update = True
-                    self.loop.g_update_pending = False
+            self._handle_loop_event(event)
+        if final:  # resolve the in-flight keyframe program
+            with self.frontend.telemetry.stage("loop"):
+                self._handle_loop_event(self.loop.flush_pending())
         # continuous bottom-up global mapping: at most one keyframe
         # window per drain (the reference's thd_globalmapping runs
         # throughout the session, voxelslam.cpp:2485-2595, so finish
         # only drains leftovers)
         with self.frontend.telemetry.stage("gba_window"):
-            if self.gmap.bottom_up_incremental(self.loop.keyframes):
-                self.frontend.telemetry.count("gba_windows")
+            n = self.gmap.bottom_up_incremental(self.loop.keyframes)
+            if final:  # resolve the window dispatched just above
+                n += self.gmap._resolve_pending()
+            if n:
+                self.frontend.telemetry.count("gba_windows", n)
 
     def run_synthetic(self, data):
         recs = []
@@ -674,12 +684,12 @@ class VoxelSLAM:
             if r is not None:
                 recs.append(r)
         self.frontend.flush()
-        self._drain()
+        self._drain(final=True)
         return recs
 
     def finish(self, save_dir: Optional[str] = None):
         self.frontend.flush()
-        self._drain()
+        self._drain(final=True)
         return self._finish_impl(save_dir)
 
     def _finish_impl(self, save_dir: Optional[str] = None):
@@ -706,11 +716,14 @@ class VoxelSLAM:
                 g, offsets = self.loop._graph_arrays()
                 import numpy as _np
 
-                ei = [int(v) for v in _np.asarray(g.ei)]
-                ej = [int(v) for v in _np.asarray(g.ej)]
-                Rm = list(_np.asarray(g.Rm))
-                tm = list(_np.asarray(g.tm))
-                w = list(_np.asarray(g.w))
+                # strip the bucket padding, append hessian edges, re-pad
+                gnp = jax.device_get(g)
+                ev = gnp.edge_valid
+                ei = [int(v) for v in gnp.ei[ev]]
+                ej = [int(v) for v in gnp.ej[ev]]
+                Rm = list(gnp.Rm[ev])
+                tm = list(gnp.tm[ev])
+                w = list(gnp.w[ev])
                 for e in self.gmap.edges:
                     s1, i1 = e["scan1"]
                     s2, i2 = e["scan2"]
@@ -719,13 +732,25 @@ class VoxelSLAM:
                     Rm.append(e["R"])
                     tm.append(e["t"])
                     w.append(1.0 / _np.maximum(e["v6"], 1e-8))
+                E_real = len(ei)
+                E = max(512, 1 << int(_np.ceil(_np.log2(E_real))))
+                ei_p = _np.zeros(E, _np.int32)
+                ej_p = _np.zeros(E, _np.int32)
+                Rm_p = _np.tile(_np.eye(3, dtype=_np.float32), (E, 1, 1))
+                tm_p = _np.zeros((E, 3), _np.float32)
+                w_p = _np.zeros((E, 6), _np.float32)
+                ei_p[:E_real] = ei
+                ej_p[:E_real] = ej
+                Rm_p[:E_real] = _np.stack(Rm).astype(_np.float32)
+                tm_p[:E_real] = _np.stack(tm).astype(_np.float32)
+                w_p[:E_real] = _np.stack(w).astype(_np.float32)
+                eval_p = _np.zeros(E, bool)
+                eval_p[:E_real] = True
                 g = g._replace(
-                    ei=jnp.asarray(_np.asarray(ei, _np.int32)),
-                    ej=jnp.asarray(_np.asarray(ej, _np.int32)),
-                    Rm=jnp.asarray(_np.stack(Rm).astype(_np.float32)),
-                    tm=jnp.asarray(_np.stack(tm).astype(_np.float32)),
-                    w=jnp.asarray(_np.stack(w).astype(_np.float32)),
-                    edge_valid=jnp.ones(len(ei), bool),
+                    ei=jnp.asarray(ei_p), ej=jnp.asarray(ej_p),
+                    Rm=jnp.asarray(Rm_p), tm=jnp.asarray(tm_p),
+                    w=jnp.asarray(w_p),
+                    edge_valid=jnp.asarray(eval_p),
                 )
                 R, p, chi2 = posegraph.optimize(g)
                 R = _np.asarray(R)
