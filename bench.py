@@ -191,6 +191,9 @@ def _full_system(out):
     for sc in data.scans[:warm]:
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
+    # compile the HBA window program BEFORE the fence (first window
+    # otherwise compiles mid-stream; 80 s observed on a cache miss)
+    slam.gmap.warmup()
     slam.frontend.telemetry = Telemetry()
     timed = data.scans[warm:]
     t0 = time.time()

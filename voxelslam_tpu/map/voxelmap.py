@@ -33,14 +33,14 @@ the reference's `pcr_fix`/`point_fix` capped at `max_points`
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core import cluster, hashing
 from ..core.cluster import Cluster
-from ..ops import eigh3, segsum
+from ..ops import eigh3, lanes, segsum
 from . import hashmap
 
 
@@ -913,9 +913,10 @@ class MatchResult(NamedTuple):
 def match(
     vmap: VoxelMap,
     pts_w: jnp.ndarray,  # (K, 3) world points
-    var_w: jnp.ndarray,  # (K, 3, 3) world point covariance
+    var_w: Optional[jnp.ndarray],  # (K, 3, 3) world point covariance
     valid: jnp.ndarray,  # (K,)
     params: MapParams,
+    pt_proj: Optional[tuple] = None,
 ) -> MatchResult:
     """Point-to-plane association with ±3σ Mahalanobis gating
     (reference match, voxel_map.hpp:1335-1392 + map-level descent
@@ -923,6 +924,14 @@ def match(
 
     Gates: (1) in-plane distance² ≤ 9·λ2 (plane extent), and
     (2) |point-to-plane| < 3σ with σ² = J Σ_plane Jᵀ + nᵀ Σ_pt n.
+
+    The point-noise term only ever appears PROJECTED on the matched
+    normal, so callers that would otherwise materialize the (K, 3, 3)
+    world covariance (body cov + pose cov inflation — batched tiny
+    matmuls, see ops/lanes.py) can instead pass
+    ``pt_proj = (pts_b, var_b, R, rot_var, tsl_var)`` and the
+    projection  nᵀΣn = qᵀΣ_b q + wᵀΣ_rot w + nᵀΣ_tsl n  with
+    q = Rᵀn, w = p_b×n  is computed lane-wise here.
     """
     coord, lvl, slot = assign(vmap, pts_w, valid, params)
     found = valid & (slot >= 0)
@@ -942,10 +951,38 @@ def match(
     dc2 = jnp.sum((rel - ctr) ** 2, axis=-1)
     range_ok = (dc2 - d * d) <= 9.0 * mrow[:, MT_RAD]
 
-    J = jnp.concatenate([rel - ctr, -nrm], axis=-1)  # (K, 6)
-    pvar = mrow[:, MT_VAR].reshape(-1, 6, 6)
-    sigma = jnp.einsum("ki,kij,kj->k", J, pvar, J)
-    sigma = sigma + jnp.einsum("ki,kij,kj->k", nrm, var_w, nrm)
+    # J Σ_plane Jᵀ as 36 lane multiply-adds over (K,) — the einsum
+    # form lowers to K batched 6×6 matvecs (tiny-matmul poison)
+    relc = rel - ctr
+    Jl = [relc[:, 0], relc[:, 1], relc[:, 2],
+          -nrm[:, 0], -nrm[:, 1], -nrm[:, 2]]
+    pv = mrow[:, MT_VAR]  # (K, 36) row-major 6×6
+    sigma = sum(
+        Jl[i] * pv[:, 6 * i + j] * Jl[j]
+        for i in range(6) for j in range(6)
+    )
+    nl = lanes.from_vec(nrm)
+    if pt_proj is not None:
+        pts_b, var_b, R, rot_var, tsl_var = pt_proj
+        q = [sum(R[k, i] * nl[k] for k in range(3)) for i in range(3)]
+        w = lanes.cross(lanes.from_vec(pts_b), nl)
+        sigma = sigma + sum(
+            q[i] * var_b[:, i, j] * q[j]
+            for i in range(3) for j in range(3)
+        )
+        sigma = sigma + sum(
+            w[i] * rot_var[i, j] * w[j]
+            for i in range(3) for j in range(3)
+        )
+        sigma = sigma + sum(
+            nl[i] * tsl_var[i, j] * nl[j]
+            for i in range(3) for j in range(3)
+        )
+    else:
+        sigma = sigma + sum(
+            nl[i] * var_w[:, i, j] * nl[j]
+            for i in range(3) for j in range(3)
+        )
     sigma = jnp.maximum(sigma, 1e-12)
     gate = jnp.abs(d) < 3.0 * jnp.sqrt(sigma)
 

@@ -60,6 +60,14 @@ def lib():
             ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_long,
         ]
+        if hasattr(L, "voxel_reduce_auto"):
+            L.voxel_reduce_auto.restype = ctypes.c_int
+            L.voxel_reduce_auto.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p,
+            ]
         _lib = L
         return L
     except OSError:
@@ -89,3 +97,31 @@ def voxel_reduce(pts, offt, cell: float, max_out: int):
     if m < 0:
         return "overflow"
     return out_xyz[:m], out_t[:m]
+
+
+def voxel_reduce_auto(pts, offt, cells, start: int, max_out: int):
+    """Try `cells[start:]` coarsest-last inside one native call.
+    Returns (pts', offt', cell_idx) with the first cell that fits, or
+    None when the native library lacks the symbol / even the coarsest
+    cell overflows (callers fall back)."""
+    import numpy as np
+
+    L = lib()
+    if L is None or not hasattr(L, "voxel_reduce_auto"):
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    offt = np.ascontiguousarray(offt, np.float32)
+    cells = np.ascontiguousarray(cells, np.float64)
+    out_xyz = np.empty((max_out, 3), np.float32)
+    out_t = np.empty((max_out,), np.float32)
+    out_m = np.zeros(1, np.int64)
+    c = L.voxel_reduce_auto(
+        pts.ctypes.data, offt.ctypes.data, len(pts),
+        cells.ctypes.data, len(cells), int(start),
+        out_xyz.ctypes.data, out_t.ctypes.data, max_out,
+        out_m.ctypes.data,
+    )
+    if c < 0:
+        return None
+    m = int(out_m[0])
+    return out_xyz[:m], out_t[:m], c

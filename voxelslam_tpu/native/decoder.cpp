@@ -189,4 +189,24 @@ int voxel_reduce(const float* xyz, const float* offt, long n,
     return (int)m;
 }
 
+// Multi-cell variant: try `cells[start..n_cells)` in order inside ONE
+// native call (the Python-side retry loop costs a full ctypes call +
+// argument marshalling per try, and the common case needs 2-3 tries
+// when the starting cell is too fine).  Writes the first fitting
+// result; returns the index of the cell used (>= start), or -1 when
+// even the coarsest overflows.
+int voxel_reduce_auto(const float* xyz, const float* offt, long n,
+                      const double* cells, int n_cells, int start,
+                      float* out_xyz, float* out_offt, long max_out,
+                      long* out_m)
+{
+    for (int c = start < 0 ? 0 : start; c < n_cells; c++) {
+        int m = voxel_reduce(xyz, offt, n, cells[c], out_xyz, out_offt,
+                             max_out);
+        if (m >= 0) { *out_m = m; return c; }
+    }
+    *out_m = 0;
+    return -1;
+}
+
 }  // extern "C"

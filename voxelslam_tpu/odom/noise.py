@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import so3
+from ..ops import lanes
 
 
 def body_var(pts: jnp.ndarray, dept_err, beam_err_deg) -> jnp.ndarray:
@@ -39,11 +40,22 @@ def body_var(pts: jnp.ndarray, dept_err, beam_err_deg) -> jnp.ndarray:
     b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
     b2 = jnp.cross(b1, d)
     b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
-    N = jnp.stack([b1, b2], axis=-1)  # (N, 3, 2)
-    A = rng[..., None] * (so3.hat(d) @ N)  # (N, 3, 2)
-    var = (
-        range_var * d[..., :, None] * d[..., None, :]
-        + dir_var * (A @ jnp.swapaxes(A, -1, -2))
+    # hat(d) @ [b1 b2] has columns d×b1, d×b2; A Aᵀ is then a sum of
+    # two outer products — lane math, not (N,3,2)@(N,2,3) batched
+    # tiny matmuls (ops/lanes.py rationale)
+    dl = lanes.from_vec(d)
+    r = rng[..., 0]
+    a1 = [r * c for c in lanes.cross(dl, lanes.from_vec(b1))]
+    a2 = [r * c for c in lanes.cross(dl, lanes.from_vec(b2))]
+    var = lanes.to_mat(
+        [
+            [
+                range_var * dl[i] * dl[j]
+                + dir_var * (a1[i] * a1[j] + a2[i] * a2[j])
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
     )
     return var
 
@@ -62,9 +74,19 @@ def world_var(pts_b, var_b, x):
     """
     rot_var = x.cov[0:3, 0:3]
     tsl_var = x.cov[3:6, 3:6]
-    ph = so3.hat(pts_b)
+    # R Σ_b Rᵀ with a FIXED R is two plain dots (fine); the batched
+    # hat(p) Σ_rot hat(p)ᵀ term is lane-unrolled (ops/lanes.py)
+    H = lanes.hat(lanes.from_vec(pts_b))
+    HS = [
+        [
+            sum(H[i][k] * rot_var[k, j] for k in range(3))
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    rot_term = lanes.to_mat(lanes.mmT(HS, H))
     return (
         jnp.einsum("ij,...jk,lk->...il", x.R, var_b, x.R)
-        + ph @ rot_var @ jnp.swapaxes(ph, -1, -2)
+        + rot_term
         + tsl_var
     )

@@ -130,6 +130,8 @@ class SlamFrontend:
         self._pressure = False  # hash overflow seen -> compact
         self._last_jour = 0.0  # travel stamp from RESOLVED outputs
         self._last_load = 0.0  # hash load factor from RESOLVED outputs
+        self._reduce_cell = 0  # sticky raw-reduce cell index
+        self._reduce_tick = 0
 
     # ------------------------------------------------------------- inputs
 
@@ -147,14 +149,20 @@ class SlamFrontend:
         base = self.pp.down_size
         from . import native
         cells = (base * 0.5, base, base * 2.0, base * 4.0)
+        # sticky starting cell: consecutive scans see the same scene
+        # density, so start where the last scan succeeded instead of
+        # re-discovering it with full overflow passes (~1.7 ms each);
+        # retry one finer every 32 scans so a sparser scene recovers
+        start = self._reduce_cell
         if len(pts) > 2.5 * n_raw:
-            cells = cells[1:]  # the half cell cannot fit; skip its try
-        for cell in cells:
-            r = native.voxel_reduce(pts, offsets, cell, n_raw)
-            if r is None:
-                break
-            if isinstance(r, tuple):
-                return r
+            start = max(start, 1)  # the half cell cannot fit
+        self._reduce_tick += 1
+        if start > 0 and self._reduce_tick % 32 == 0:
+            start -= 1
+        r = native.voxel_reduce_auto(pts, offsets, cells, start, n_raw)
+        if r is not None:
+            self._reduce_cell = r[2]
+            return r[0], r[1]
         # numpy fallback: first point per cell
         cell = base
         p = np.asarray(pts)
@@ -632,9 +640,11 @@ class VoxelSLAM:
         if rec is not None and self.frontend.phase == "STEADY":
             k = self.loop.nearest_loadable(rec.p)
             if k is not None:
-                self.frontend.insert_keyframe_fixed(
-                    k.cloud, k.cloud_mask, k.R0, k.p0
-                )
+                with self.frontend.telemetry.stage("midterm"):
+                    self.frontend.insert_keyframe_fixed(
+                        k.cloud, k.cloud_mask, k.R0, k.p0
+                    )
+                self.frontend.telemetry.count("midterm_loads")
         self._drain()
         return rec
 
