@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import so3
-from ..ops import eigh3
+from ..ops import eigh3, lanes
 
 
 class IcpResult(NamedTuple):
@@ -77,7 +77,11 @@ def icp_plane(
             & (p2p < paras[3])
         )
         rr = jnp.sum(tn * dvec, axis=1)
-        jrot = jnp.einsum("qij,jk,qk->qi", so3.hat(src_pts), R.T, tn)
+        # [p × (Rᵀn)] via lane cross, not a (Q,3,3)@(Q,3) batched
+        # matvec chain (ops/lanes.py rationale)
+        nl = lanes.from_vec(tn)
+        q = [sum(R[k, i] * nl[k] for k in range(3)) for i in range(3)]
+        jrot = lanes.to_vec(lanes.cross(lanes.from_vec(src_pts), q))
         jac = jnp.concatenate([jrot, tn], axis=1)  # (Q, 6)
         okf = ok.astype(dtype)
         H = jnp.einsum("q,qa,qb->ab", okf, jac, jac)

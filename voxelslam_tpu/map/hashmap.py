@@ -59,9 +59,37 @@ def lookup(
     C = keys.shape[0]
     q = jnp.concatenate([coord, level[:, None]], axis=-1)  # (K, 4)
     h0 = hashing.slot_of(coord, level, C)
-    slot = jnp.full(h0.shape, -1, jnp.int32)
-    done = jnp.zeros(h0.shape, bool) if skip is None else skip
 
+    # head: the first U probes as ONE (K, U) gather + a first-decider
+    # select.  The sequential while_loop costs a gather, a select
+    # chain AND a full all(done) reduction PER PROBE (each a separate
+    # serialized step on TPU); at the working load factor (< 0.7)
+    # nearly every query decides within 4 probes, so the head usually
+    # retires the whole batch and the tail loop's cond fails once.
+    U = min(4, max_probe)
+    cand = (h0[:, None] + jnp.arange(U, dtype=jnp.int32)[None, :]) & (
+        C - 1
+    )  # (K, U)
+    key_at = keys[cand]  # (K, U, 4)
+    hit = jnp.all(key_at == q[:, None, :], axis=-1)  # (K, U)
+    empty = key_at[..., 3] == EMPTY_LEVEL  # ⇒ key not in table
+    decide = hit | empty
+    first = jnp.argmax(decide, axis=1)  # first deciding probe
+    has = jnp.any(decide, axis=1)
+    hit_first = jnp.take_along_axis(hit, first[:, None], 1)[:, 0]
+    slot = jnp.where(
+        has & hit_first,
+        jnp.take_along_axis(cand, first[:, None], 1)[:, 0],
+        -1,
+    )
+    done = has
+    if skip is not None:
+        slot = jnp.where(skip, -1, slot)
+        done = done | skip
+    if U >= max_probe:
+        return slot
+
+    # tail: rare long chains continue sequentially from probe U
     def cond(carry):
         slot, done, r = carry
         return (r < max_probe) & ~jnp.all(done)
@@ -73,11 +101,11 @@ def lookup(
         hit = _key_equal(key_at, q) & ~done
         miss_empty = (key_at[:, 3] == EMPTY_LEVEL) & ~done
         slot = jnp.where(hit, cand, slot)
-        done = done | hit | miss_empty  # empty slot ⇒ key not in table
+        done = done | hit | miss_empty
         return slot, done, r + 1
 
     slot, done, _ = jax.lax.while_loop(
-        cond, body, (slot, done, jnp.int32(0))
+        cond, body, (slot, done, jnp.int32(U))
     )
     return slot
 
