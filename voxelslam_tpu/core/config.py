@@ -128,6 +128,9 @@ class Shapes:
     fast_subsample: int = 0  # 1: strided device subsample instead of
     #   the sort-based voxel average — only when the host pre-reduces
     #   dense scans to down_size cells (see pipeline.PipelineParams)
+    pipe_depth: int = 1  # in-flight async steady batches (FIFO);
+    #   2 hides the device's residual batch time behind host packing
+    #   at the cost of one extra batch of output latency
 
 
 @dataclass(frozen=True)

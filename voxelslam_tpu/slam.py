@@ -123,7 +123,8 @@ class SlamFrontend:
         self.telemetry = Telemetry()
         self.g_update = False  # one-shot gravity refresh in the next
         #                        window BA (g_update=2 protocol)
-        self._pending = None  # in-flight async steady step(s)
+        self._pending = []  # FIFO of in-flight async steady batches
+        self.pipe_depth = max(1, getattr(sh, "pipe_depth", 1))
         self._fill_count = 0
         self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
         self._batch_buf = []  # flats awaiting a full device batch
@@ -201,14 +202,15 @@ class SlamFrontend:
         )
 
     def _resolve_pending(self) -> Optional[ScanRecord]:
-        """Drain the previously dispatched (async) steady step(s):
-        pull outputs to the host, record, apply reset policies.
-        Deferring this lets host packing overlap device execution (the
-        3-thread pipeline's latency hiding via async dispatch)."""
-        if self._pending is None:
+        """Drain the OLDEST dispatched (async) steady batch: pull
+        outputs to the host, record, apply reset policies.  Up to
+        `pipe_depth` batches stay in flight (FIFO) so host packing and
+        device execution overlap fully — at depth 1 the host still
+        pays the device's residual batch time as a resolve wait
+        (~80 ms/batch measured on the tunneled device)."""
+        if not self._pending:
             return None
-        outs, t_ends = self._pending
-        self._pending = None
+        outs, t_ends = self._pending.pop(0)
         with self.telemetry.stage("resolve"):
             outs = jax.device_get(outs)
         rec = None
@@ -265,7 +267,9 @@ class SlamFrontend:
         process scans still buffered for an incomplete batch (end of
         stream / finish — without this, up to scan_batch-1 tail scans
         would be silently dropped)."""
-        rec = self._resolve_pending()
+        rec = None
+        while self._pending:
+            rec = self._resolve_pending() or rec
         if self._batch_buf and self.phase == "STEADY":
             leftovers = self._batch_buf
             self._batch_buf = []
@@ -276,10 +280,10 @@ class SlamFrontend:
                     self.imu_noise, self.ext_R, self.ext_t,
                     self.scale_gravity,
                 )
-                self._pending = (
-                    jax.tree.map(lambda a: a[None], out), [t_end]
+                self._pending.append(
+                    (jax.tree.map(lambda a: a[None], out), [t_end])
                 )
-                rec = self._resolve_pending()
+                rec = self._resolve_pending() or rec
         return rec
 
     def _maybe_gravity_refresh(self):
@@ -306,9 +310,10 @@ class SlamFrontend:
         # batch is packed and dispatched — resolving here would make
         # the host block for the whole device batch, then pack
         # serially (measured: single biggest throughput loss).
-        rec_prev = (
-            self._resolve_pending() if self.phase != "STEADY" else None
-        )
+        rec_prev = None
+        if self.phase != "STEADY":
+            while self._pending:
+                rec_prev = self._resolve_pending() or rec_prev
         if self._t0 is None:
             self._t0 = t_begin
 
@@ -378,9 +383,6 @@ class SlamFrontend:
         flats = np.stack([f for f, _ in self._batch_buf])
         t_ends = [t for _, t in self._batch_buf]
         self._batch_buf = []
-        prev_pending = self._pending
-        self._pending = None
-        sess0 = self.session
         self._maybe_gravity_refresh()
         with self.telemetry.stage("dispatch"):
             if self.scan_batch == 1:
@@ -396,15 +398,14 @@ class SlamFrontend:
                     self.imu_noise, self.ext_R, self.ext_t,
                     self.scale_gravity,
                 )
-        # drain the PREVIOUS batch only now: its device execution
-        # overlapped this batch's packing, so the wait is short, and
-        # the batch just dispatched runs while the host records
-        self._pending = prev_pending
-        rec_prev = self._resolve_pending() or rec_prev
-        if self.session == sess0:
-            self._pending = (out, t_ends)
-        # else: a reset fired while draining — the freshly dispatched
-        # batch belongs to the dead session; drop its outputs
+        # enqueue, then drain down to pipe_depth in-flight batches:
+        # the oldest batch has had pipe_depth batch-times of device
+        # execution behind it, so the wait is ~zero; a session reset
+        # fired while draining clears the queue (dead-session batches)
+        # and the loop condition re-checks it
+        self._pending.append((out, t_ends))
+        while len(self._pending) > self.pipe_depth:
+            rec_prev = self._resolve_pending() or rec_prev
 
         # distance-based map eviction + table compaction.  The travel
         # stamp comes from the last RESOLVED batch (one batch stale):
@@ -484,7 +485,8 @@ class SlamFrontend:
         PGO edge bridging the correction event stays consistent (the
         reference serializes this via the loop_update handshake)."""
         mark = len(self.scan_poses)
-        self._resolve_pending()
+        while self._pending:
+            self._resolve_pending()
         if len(self.scan_poses) > mark:
             dxR = np.asarray(event["dx_R"], np.float32)
             dxp = np.asarray(event["dx_p"], np.float32)
@@ -525,7 +527,7 @@ class SlamFrontend:
         restart a new session spatially offset so sessions never alias
         (restart pose z+30)."""
         print(f"[voxelslam-tpu] session reset: {reason}")
-        self._pending = None
+        self._pending = []
         self._batch_buf = []
         self._fill_count = 0
         self.session += 1
@@ -635,7 +637,8 @@ class VoxelSLAM:
         self._last_session = 0
 
     def process_scan(self, *args, **kw):
-        rec = self.frontend.process_scan(*args, **kw)
+        with self.frontend.telemetry.stage("fe_step"):
+            rec = self.frontend.process_scan(*args, **kw)
         # mid-term association: reload one nearby historical keyframe
         if rec is not None and self.frontend.phase == "STEADY":
             k = self.loop.nearest_loadable(rec.p)
