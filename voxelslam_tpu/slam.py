@@ -273,18 +273,45 @@ class SlamFrontend:
         if self._batch_buf and self.phase == "STEADY":
             leftovers = self._batch_buf
             self._batch_buf = []
+            step1 = self._flush_program()
             for flat, t_end in leftovers:
                 self._maybe_gravity_refresh()
-                self.carry, out = pl.steady_step_flat(
-                    self.carry, jnp.asarray(flat), self.pp,
-                    self.imu_noise, self.ext_R, self.ext_t,
-                    self.scale_gravity,
+                self.carry, out = step1(
+                    self.carry, jnp.asarray(flat), self.imu_noise,
+                    self.ext_R, self.ext_t, self.scale_gravity,
                 )
                 self._pending.append(
                     (jax.tree.map(lambda a: a[None], out), [t_end])
                 )
                 rec = self._resolve_pending() or rec
         return rec
+
+    def _flush_program(self):
+        """The single-scan steady step as an AOT-compiled executable.
+
+        flush() is the ONLY user of the batch-1 program; compiling it
+        lazily inside flush put a full device compile (~90 s observed
+        on the tunneled TPU, the cache server permitting) at the END
+        of every stream whose length is not a multiple of scan_batch.
+        `warm_programs()` builds it at the FILL→STEADY transition
+        instead, where warmup already pays compile time."""
+        if self.scan_batch == 1:
+            # batch-1 configs use the jit path every scan anyway
+            def step1(carry, flat, *a):
+                return pl.steady_step_flat(carry, flat, self.pp, *a)
+            return step1
+        if getattr(self, "_flush_exec", None) is None:
+            flat0 = jnp.zeros((pl.flat_len(self.pp),), self.dtype)
+            self._flush_exec = pl.steady_step_flat.lower(
+                self.carry, flat0, self.pp, self.imu_noise,
+                self.ext_R, self.ext_t, self.scale_gravity,
+            ).compile()
+        return self._flush_exec
+
+    def warm_programs(self):
+        """Compile off-hot-path programs before they are first needed."""
+        if self.phase == "STEADY" and self.scan_batch > 1:
+            self._flush_program()
 
     def _maybe_gravity_refresh(self):
         """One-shot gravity-refining window BA (g_update protocol,
@@ -374,6 +401,8 @@ class SlamFrontend:
                 # case init left fresh subdivisions unrouted
                 with self.telemetry.stage("rebuild"):
                     self.carry = pl.rebuild_map(self.carry, self.pp)
+                with self.telemetry.stage("warm_flush"):
+                    self.warm_programs()
             return self._record(jax.device_get(out), t_end)
 
         # STEADY: batch scans into one device program, dispatch async
