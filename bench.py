@@ -84,6 +84,9 @@ def _room_cfg():
             # the sort-based voxel average (-4 ms/scan, ATE checked in
             # this bench's output)
             fast_subsample=1,
+            # two batches in flight: the host never waits out the
+            # device's residual batch time (~60-80 ms/batch resolve)
+            pipe_depth=2,
         ),
     )
 
@@ -279,7 +282,10 @@ def main():
         "warmup_s": round(warmup_s, 1),
         "compile_cache_warm": bool(had_cache),
         "scan_batch": sb,
-        "output_latency_ms": round(sb / mean * 1000.0, 0),
+        "pipe_depth": cfg.shapes.pipe_depth,
+        "output_latency_ms": round(
+            cfg.shapes.pipe_depth * sb / mean * 1000.0, 0
+        ),
     }
 
     # latency-bounded number: scan_batch = 4 -> 4/rate output latency
@@ -287,8 +293,11 @@ def main():
         import dataclasses
 
         cfg4 = _room_cfg()
+        # latency-bounded: depth 1 keeps output latency at 4 scans
         cfg4 = dataclasses.replace(
-            cfg4, shapes=dataclasses.replace(cfg4.shapes, scan_batch=4)
+            cfg4,
+            shapes=dataclasses.replace(cfg4.shapes, scan_batch=4,
+                                       pipe_depth=1),
         )
         warm4 = cfg4.local_ba.win_size + 1 + 2 * 4
         m4, s4, _, ate4, _ = _run_frontend(

@@ -79,6 +79,7 @@ Shapes:
   hash_capacity: 32768
   max_ba_voxels: 2048
   scan_batch: 16
+  pipe_depth: 2
   refit_size: 2048
 """
 
