@@ -194,9 +194,12 @@ def _full_system(out):
     for sc in data.scans[:warm]:
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
-    # compile the HBA window program BEFORE the fence (first window
-    # otherwise compiles mid-stream; 80 s observed on a cache miss)
-    slam.gmap.warmup()
+    # compile the HBA window + finish submap programs BEFORE the fence
+    # (the first window otherwise compiles mid-stream — 80 s observed
+    # on a cache miss — and the submap BA inside finish())
+    slam.gmap.warmup(
+        submap=(cfg.gba.max_submaps, cfg.gba.submap_points)
+    )
     slam.frontend.telemetry = Telemetry()
     timed = data.scans[warm:]
     t0 = time.time()

@@ -159,28 +159,36 @@ class GlobalMapper:
         # batches already in the dispatch queue.
         self._pending = None
 
-    def warmup(self) -> None:
+    def warmup(self, submap: Optional[tuple] = None) -> None:
         """Compile `window_ba` at production shapes off the hot path.
         The first window otherwise compiles mid-stream (~80 s observed
         on the tunneled TPU when the persistent cache misses), stalling
-        the online pipeline for several seconds of sensor time."""
-        hp = self.hp
-        P = self.kf_points
-        pts = np.zeros((hp.win, P, 3), np.float32)
-        # a tiny synthetic plane per keyframe keeps the BA numerically
-        # tame; results are discarded
-        pts[:, :64, :2] = np.random.default_rng(0).uniform(
-            0, 1, (hp.win, 64, 2)
-        )
-        mask = np.zeros((hp.win, P), bool)
-        mask[:, :64] = True
-        R = np.tile(np.eye(3, dtype=np.float32), (hp.win, 1, 1))
-        p = np.zeros((hp.win, 3), np.float32)
-        out = window_ba(
-            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
-            jnp.asarray(p), hp,
-        )
-        jax.block_until_ready(out[0])
+        the online pipeline for several seconds of sensor time.
+
+        `submap=(max_submaps, submap_points)` additionally compiles the
+        finish-time submap-level BA (its (W, P) differ from the
+        keyframe windows, so it is a separate program that otherwise
+        compiles inside finish())."""
+        shapes = [(self.hp.win, self.kf_points, self.hp)]
+        if submap is not None:
+            W, P = submap
+            shapes.append((W, P, self.hp._replace(win=W)))
+        for W, P, hp in shapes:
+            pts = np.zeros((W, P, 3), np.float32)
+            # a tiny synthetic plane per keyframe keeps the BA
+            # numerically tame; results are discarded
+            pts[:, :64, :2] = np.random.default_rng(0).uniform(
+                0, 1, (W, 64, 2)
+            )
+            mask = np.zeros((W, P), bool)
+            mask[:, :64] = True
+            R = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+            p = np.zeros((W, 3), np.float32)
+            out = window_ba(
+                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+                jnp.asarray(p), hp,
+            )
+            jax.block_until_ready(out[0])
 
     def _by_session(self, keyframes: List) -> dict:
         sessions = {}
