@@ -76,12 +76,14 @@ Shapes:
   max_raw_points: 8192
   max_points: 2048
   max_imu: 64
-  hash_capacity: 32768
+  hash_capacity: 16384
   max_ba_voxels: 2048
   scan_batch: 16
   pipe_depth: 2
-  refit_size: 2048
+  refit_size: 1024
 """
+# shapes above deliberately match bench.py's room/full-system config
+# so the TPU evidence run reuses the bench-warmed compile cache
 
 
 def cmd_gen(args):
