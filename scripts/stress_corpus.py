@@ -108,9 +108,19 @@ def cmd_gen(args):
         n_scans=args.scans, traj=traj, world=world, dirs=dirs,
         gyr_noise=2e-3, acc_noise=2e-2,
         gyr_bias=(0.004, -0.002, 0.003), acc_bias=(0.02, -0.01, 0.03),
-        gyr_scale=1.015,       # un-estimable heading drift
+        # 0.5% gyro scale error: un-estimable heading drift large
+        # enough that only loop closure can hold the map together,
+        # small enough that true loops stay within the same-session
+        # drift-plausibility gate (1.5% made the gate reject every
+        # genuine loop: drift/jour > ratio_drift everywhere).
+        gyr_scale=1.005,
         range_noise=0.005, range_noise_rel=0.002,  # range-dependent
         outlier_frac=0.002,    # spurious short returns
+        # 12 m sensor range: mid-corridor the scanner sees ONLY the
+        # parallel walls/floor/ceiling (at 60 m it saw the far rooms
+        # straight down the corridor and the degeneracy never built
+        # up the degrade_bound streak -> no session reset).
+        max_range=12.0,
         t0=0.5, seed=args.seed,
     )
     log(f"simulated {args.scans} scans in {time.time() - t0:.0f}s")

@@ -34,6 +34,25 @@ def _load_dataset(path: str):
 
 
 def cmd_run(args):
+    if args.platform:
+        # select the backend BEFORE the first jax op claims a device
+        # (the sandbox's sitecustomize prepends the axon TPU plugin to
+        # every process; CPU runs must opt out explicitly).  CPU runs
+        # also need the machine-keyed compile cache — XLA:CPU AOT
+        # entries in the shared .jax_cache come from a different host
+        # and can SIGILL (utils/cachedir.py).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            from .utils.cachedir import cpu_cache_dir
+
+            jax.config.update(
+                "jax_compilation_cache_dir", cpu_cache_dir()
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0
+            )
     from .core.config import Config, load_yaml
     from .slam import VoxelSLAM
 
@@ -205,6 +224,9 @@ def main(argv=None):
     r.add_argument("--previous-map", default=None,
                    help="comma-separated saved session dirs to "
                         "relocalize against")
+    r.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the jax backend (default: environment "
+                        "order, i.e. TPU when one is attached)")
     r.add_argument("--gt", default=None,
                    help="ground-truth npz (t, R, p): score ATE before "
                         "and (with --finish) after the final GBA")

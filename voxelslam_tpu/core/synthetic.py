@@ -448,12 +448,21 @@ class WaypointTrajectory:
 
     def _tangent(self, t):
         s = self._s(t)
-        h = 1e-4
-        d = self._spline(s + h) - self._spline(max(s - h, 0.0))
-        n = np.linalg.norm(d[:2])
-        if n < 1e-12:
-            return np.array([1.0, 0.0])
-        return d[:2] / n
+        # progressively widen the stencil: at the clamped ends the
+        # spline's first derivative vanishes (triple knot), and a
+        # fixed tiny h would fall back to yaw=0 — making the ground-
+        # truth ORIENTATION step discontinuously (≈45° here) the
+        # instant motion starts.  The finite-difference gyro then
+        # contains a near-delta spike no estimator can integrate,
+        # poisoning the whole run.  A wider stencil returns the
+        # departure/arrival direction instead, keeping rot(t)
+        # continuous through standstill.
+        for h in (1e-4, 1e-2, 0.1, 0.5):
+            d = self._spline(s + h) - self._spline(max(s - h, 0.0))
+            n = np.linalg.norm(d[:2])
+            if n > 1e-9:
+                return d[:2] / n
+        return np.array([1.0, 0.0])
 
     def rot(self, t):
         tx, ty = self._tangent(t)
@@ -588,6 +597,7 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
              range_noise: float = 0.0, range_scale: float = 1.0,
              range_noise_rel: float = 0.0,  # + σ ∝ range (real LiDAR)
              outlier_frac: float = 0.0,  # spurious short returns
+             max_range: float = 60.0,  # sensor range cap
              gravity: float = 9.8,
              extrinsic_R: np.ndarray | None = None,
              extrinsic_t: np.ndarray | None = None,
@@ -651,7 +661,7 @@ def simulate(n_scans: int = 20, scan_hz: float = 10.0, imu_hz: float = 200.0,
             R_l = R_w @ eR
             p_l = R_w @ et + p_w
             d_w = (R_l @ dirs[idx].T).T
-            rr = raycast(world, p_l, d_w)
+            rr = raycast(world, p_l, d_w, max_range=max_range)
             ok = np.isfinite(rr)
             if range_noise > 0 or range_noise_rel > 0:
                 sig = range_noise + range_noise_rel * np.where(ok, rr, 0.0)
