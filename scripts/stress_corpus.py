@@ -116,11 +116,13 @@ def cmd_gen(args):
         gyr_scale=1.005,
         range_noise=0.005, range_noise_rel=0.002,  # range-dependent
         outlier_frac=0.002,    # spurious short returns
-        # 12 m sensor range: mid-corridor the scanner sees ONLY the
-        # parallel walls/floor/ceiling (at 60 m it saw the far rooms
-        # straight down the corridor and the degeneracy never built
-        # up the degrade_bound streak -> no session reset).
-        max_range=12.0,
+        # Short sensor range (--max-range 12): mid-corridor the
+        # scanner sees ONLY the parallel walls/floor/ceiling (at 60 m
+        # it saw the far rooms straight down the corridor and the
+        # degeneracy never built up the degrade_bound streak -> no
+        # session reset).  60 m = the continuous headline-accuracy
+        # variant; 12 m = the reset/re-merge resilience variant.
+        max_range=args.max_range,
         t0=0.5, seed=args.seed,
     )
     log(f"simulated {args.scans} scans in {time.time() - t0:.0f}s")
@@ -164,14 +166,17 @@ def cmd_all(args):
     env = dict(os.environ)
     if args.tpu:
         env.pop("JAX_PLATFORMS", None)  # let axon claim the TPU
-    else:
-        env["JAX_PLATFORMS"] = "cpu"
     t0 = time.time()
+    # CPU runs MUST pin via --platform (jax.config.update before the
+    # first op): the sandbox sitecustomize rewrites JAX_PLATFORMS to
+    # "axon,cpu" in every process, so the env var alone silently
+    # queues the run behind a TPU claim.
     r = subprocess.run(
         [sys.executable, "-m", "voxelslam_tpu.cli", "run", ds,
          "--config", os.path.join(ds, "config.yaml"),
          "--gt", os.path.join(args.dir, "stress_gt.npz"), "--finish",
-         "--out", os.path.join(args.dir, "session_out")],
+         "--out", os.path.join(args.dir, "session_out")]
+        + ([] if args.tpu else ["--platform", "cpu"]),
         cwd=ROOT, env=env, capture_output=True, text=True,
     )
     sys.stderr.write(r.stderr[-4000:])
@@ -192,6 +197,10 @@ def main(argv=None):
         p.add_argument("--seed", type=int, default=31)
         p.add_argument("--lines", type=int, default=96)
         p.add_argument("--cols", type=int, default=300)
+        p.add_argument("--max-range", type=float, default=60.0,
+                       help="sensor range cap: 60 = continuous "
+                            "headline run; 12 = corridor degeneracy "
+                            "-> session reset -> re-merge variant")
     a.add_argument("--tpu", action="store_true",
                    help="run the SLAM pass on the TPU (default CPU)")
     g.set_defaults(fn=cmd_gen)

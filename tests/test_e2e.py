@@ -106,6 +106,40 @@ class TestEndToEnd:
         assert np.isfinite(errs).all()
         assert ate_tail < 0.08, f"violent-start ATE tail {ate_tail:.3f} m"
 
+    def test_init_failure_retries_same_session(self):
+        """A failed INITIALIZATION attempt (plane-span / gravity-norm
+        gate) must retry under the SAME session id — the reference
+        loops motion_init without a system reset (voxelslam.cpp:
+        1618-1634).  Before the fix each failed attempt minted a new
+        empty session: a featureless corridor inflated the count by
+        ~1 per attempt (24 sessions on the stress corpus) and drowned
+        the pose graph in fragments."""
+        # two SMALL floor/ceiling tiles: plane spread stays below
+        # init_span_bound (4.0) -> the span gate fires on every
+        # attempt (the big-floor variant instead passes init and
+        # trips the steady degrade bound — a different, legitimately
+        # new-session reset)
+        world = synthetic.PlaneWorld(
+            center=np.array([[0.0, 0, -1.5], [0.0, 0, 2.0]]),
+            normal=np.array([[0.0, 0, 1], [0.0, 0, -1]]),
+            u=np.array([[1.2, 0, 0], [1.2, 0, 0]]),
+            v=np.array([[0.0, 1.2, 0], [0.0, 1.2, 0]]),
+        )
+        traj = synthetic.Trajectory(
+            amp=np.array([0.3, 0.25, 0.05]), ramp=1.5, t_start=1.0
+        )
+        data = synthetic.simulate(
+            n_scans=22, traj=traj, world=world,
+            dirs=synthetic.lidar_dirs(20, 80, fov_v=55.0, fov_h=140.0),
+            t0=0.5, seed=11,
+        )
+        fe = SlamFrontend(small_config())
+        fe.run_synthetic(data)
+        assert fe.phase != "STEADY", "rank-1 world must not pass init"
+        assert fe.session == 0, (
+            f"init retries minted {fe.session} empty sessions"
+        )
+
     def test_outputs_flow(self, synth_data):
         traj, data = synth_data
         fe = SlamFrontend(small_config())

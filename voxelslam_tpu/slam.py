@@ -389,11 +389,17 @@ class SlamFrontend:
                 )
                 g_norm = float(g_norm)
                 if not (9.6 < g_norm < 10.0):
-                    self._reset(f"init gravity norm {g_norm:.3f} out of range")
+                    self._reset(
+                        f"init gravity norm {g_norm:.3f} out of range",
+                        new_session=False,
+                    )
                     return rec_prev
                 # plane-normal-span degeneracy (voxelslam.cpp:651-658)
                 if float(span) < self.init_span_bound:
-                    self._reset(f"init plane span {float(span):.1f} degenerate")
+                    self._reset(
+                        f"init plane span {float(span):.1f} degenerate",
+                        new_session=False,
+                    )
                     return rec_prev
                 self.phase = "STEADY"
                 # warm the deferred-rebuild program now (compile off
@@ -551,15 +557,26 @@ class SlamFrontend:
         self.records.append(rec)
         return rec
 
-    def _reset(self, reason: str):
+    def _reset(self, reason: str, new_session: bool = True):
         """system_reset (voxelslam.cpp:1290-1317): destroy the map,
         restart a new session spatially offset so sessions never alias
-        (restart pose z+30)."""
+        (restart pose z+30).
+
+        new_session=False: a failed INITIALIZATION attempt (gravity
+        norm / plane span gate) — nothing of this attempt was ever
+        emitted (no marginalized ScanPoses), so retry init under the
+        SAME session id instead of minting one empty session per
+        attempt.  The reference likewise loops motion_init without a
+        system reset (voxelslam.cpp:1618-1634); sustained degeneracy
+        (e.g. a featureless corridor) otherwise inflates the session
+        count by one per failed attempt and drowns the pose graph in
+        empty fragments."""
         print(f"[voxelslam-tpu] session reset: {reason}")
         self._pending = []
         self._batch_buf = []
         self._fill_count = 0
-        self.session += 1
+        if new_session:
+            self.session += 1
         self.degrade_cnt = 0
         self.phase = "IMU_INIT"
         self._imu_acc_sum[:] = 0
