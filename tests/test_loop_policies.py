@@ -289,3 +289,29 @@ class TestOneEdgePerSession:
 
         monkeypatch.setattr(manager, "keyframe_program", fake_program)
         return mgr, kf, tgt_cross
+
+
+class TestComponents:
+    def test_session_components_partition(self):
+        """components() partitions sessions by accepted loop edges —
+        the basis for multi-session ATE scoring (only the component
+        containing session 0 shares the ground-truth frame)."""
+        mgr = _mgr()
+        for _ in range(4):
+            for i in range(3):
+                mgr.push_scan_pose(
+                    _pose_dict(np.eye(3), [0.5 * i, 0.0, 0.0])
+                )
+            mgr.new_session()
+        # 5 sessions exist (4 pushed + the trailing empty one)
+        assert mgr.components() == [[0], [1], [2], [3], [4]]
+        mgr.loop_edges.append(manager.LoopEdge(
+            s1=0, s2=2, scan1=0, scan2=0,
+            R=np.eye(3), t=np.zeros(3), v6=np.full(6, 1e-4),
+        ))
+        mgr.loop_edges.append(manager.LoopEdge(
+            s1=3, s2=1, scan1=0, scan2=0,
+            R=np.eye(3), t=np.zeros(3), v6=np.full(6, 1e-4),
+        ))
+        comps = mgr.components()
+        assert [0, 2] in comps and [1, 3] in comps and [4] in comps

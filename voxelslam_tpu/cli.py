@@ -157,6 +157,41 @@ def cmd_run(args):
             summary["ate_after_gba_m"] = (
                 round(a, 4) if a is not None else None
             )
+        # multi-session scoring: sessions PGO-linked to session 0
+        # share its (ground-truth) frame; unlinked components live in
+        # their own z-offset frames by design, so the global ate_m is
+        # meaningful only when main_component covers everything.
+        gt = np.load(args.gt)
+        per_sess = []
+        for sess in slam.loop.sessions:
+            errs = [
+                np.linalg.norm(
+                    s["p"] - gt["p"][int(np.argmin(np.abs(gt["t"] - s["t"])))]
+                )
+                for s in sess
+            ]
+            per_sess.append(
+                round(float(np.sqrt(np.mean(np.square(errs)))), 4)
+                if errs else None
+            )
+        comps = slam.loop.components()
+        main = next((c for c in comps if 0 in c), [0])
+        m_errs = []
+        m_scans = 0
+        for si in main:
+            for s in slam.loop.sessions[si]:
+                j = int(np.argmin(np.abs(gt["t"] - s["t"])))
+                m_errs.append(np.linalg.norm(s["p"] - gt["p"][j]))
+                m_scans += 1
+        summary["ate_per_session_m"] = per_sess
+        summary["session_components"] = comps
+        summary["ate_main_component_m"] = (
+            round(float(np.sqrt(np.mean(np.square(m_errs)))), 4)
+            if m_errs else None
+        )
+        summary["main_component_coverage"] = round(
+            m_scans / max(sum(len(s) for s in slam.loop.sessions), 1), 3
+        )
     print(json.dumps(summary))
 
     if args.viz and args.out:

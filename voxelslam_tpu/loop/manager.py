@@ -425,6 +425,30 @@ class LoopManager:
 
     # --------------------------------------------------------------- PGO
 
+    def components(self) -> list:
+        """Connected components of sessions under the accepted loop
+        edges — the partition behind the per-component PGO anchors.
+        Sessions in the component containing session 0 share session
+        0's (ground-truth-aligned) frame after a solve; other
+        components live in their own z-offset frames until a
+        cross-session loop links them."""
+        parent = list(range(len(self.sessions)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for e in self.loop_edges:
+            ra, rb = find(e.s1), find(e.s2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for si in range(len(self.sessions)):
+            groups.setdefault(find(si), []).append(si)
+        return sorted(groups.values())
+
     def _graph_arrays(self):
         """Assemble all sessions' chains + loop edges into one padded
         PoseGraph (build_graph, voxelslam.cpp:1741-1802)."""
