@@ -104,6 +104,34 @@ def cmd_run(args):
                   f"loops={slam.loop.n_loops_found}", file=sys.stderr)
     wall = time.time() - t0
 
+    def _align_yaw_t(est, ref):
+        """Gauge-aware alignment: global yaw + translation are
+        unobservable for a LiDAR-inertial system (roll/pitch are
+        pinned by gravity), so score after removing exactly those
+        4 DoF — the standard SLAM-evaluation practice (evo's
+        align with yaw-only Umeyama).  Returns (R_align, t_align)."""
+        ca, cb = est.mean(0), ref.mean(0)
+        A, B = est - ca, ref - cb
+        num = float(np.sum(A[:, 0] * B[:, 1] - A[:, 1] * B[:, 0]))
+        den = float(np.sum(A[:, 0] * B[:, 0] + A[:, 1] * B[:, 1]))
+        th = np.arctan2(num, den)
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        return R, cb - R @ ca
+
+    def _score(est, ref):
+        if len(est) == 0:
+            return None
+        est = np.asarray(est)
+        ref = np.asarray(ref)
+        R, t = _align_yaw_t(est, ref)
+        d = est @ R.T + t - ref
+        return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+    def _gt_match(gt, ts_, ps_):
+        idx = [int(np.argmin(np.abs(gt["t"] - t))) for t in ts_]
+        return np.asarray(ps_), gt["p"][idx]
+
     def _ate():
         if not args.gt:
             return None
@@ -111,11 +139,7 @@ def cmd_run(args):
         ts_, _, ps_ = slam.trajectory()
         if len(ts_) == 0:
             return None
-        errs = []
-        for i in range(len(ts_)):
-            j = int(np.argmin(np.abs(gt["t"] - ts_[i])))
-            errs.append(np.linalg.norm(ps_[i] - gt["p"][j]))
-        return float(np.sqrt(np.mean(np.asarray(errs) ** 2)))
+        return _score(*_gt_match(gt, ts_, ps_))
 
     ate_before = None
     if args.gt:
@@ -164,33 +188,31 @@ def cmd_run(args):
         gt = np.load(args.gt)
         per_sess = []
         for sess in slam.loop.sessions:
-            errs = [
-                np.linalg.norm(
-                    s["p"] - gt["p"][int(np.argmin(np.abs(gt["t"] - s["t"])))]
-                )
-                for s in sess
-            ]
-            per_sess.append(
-                round(float(np.sqrt(np.mean(np.square(errs)))), 4)
-                if errs else None
+            if not sess:
+                per_sess.append(None)
+                continue
+            est, ref = _gt_match(
+                gt, [s["t"] for s in sess], [s["p"] for s in sess]
             )
+            a = _score(est, ref)
+            per_sess.append(round(a, 4) if a is not None else None)
         comps = slam.loop.components()
         main = next((c for c in comps if 0 in c), [0])
-        m_errs = []
-        m_scans = 0
+        m_ts, m_ps = [], []
         for si in main:
             for s in slam.loop.sessions[si]:
-                j = int(np.argmin(np.abs(gt["t"] - s["t"])))
-                m_errs.append(np.linalg.norm(s["p"] - gt["p"][j]))
-                m_scans += 1
+                m_ts.append(s["t"])
+                m_ps.append(s["p"])
+        # ONE alignment over the whole linked component: inter-session
+        # misalignment inside it must show up in the score
+        a = _score(*_gt_match(gt, m_ts, m_ps)) if m_ts else None
         summary["ate_per_session_m"] = per_sess
         summary["session_components"] = comps
         summary["ate_main_component_m"] = (
-            round(float(np.sqrt(np.mean(np.square(m_errs)))), 4)
-            if m_errs else None
+            round(a, 4) if a is not None else None
         )
         summary["main_component_coverage"] = round(
-            m_scans / max(sum(len(s) for s in slam.loop.sessions), 1), 3
+            len(m_ts) / max(sum(len(s) for s in slam.loop.sessions), 1), 3
         )
     print(json.dumps(summary))
 
