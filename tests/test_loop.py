@@ -293,3 +293,59 @@ class TestBtc:
         )
         cand = database.search(db, desc2, planes2, 40, sp)
         assert float(cand.score[0]) < 0.5 or int(cand.frame[0]) == -1
+
+
+class TestIcpOverlapGate:
+    def _constellation(self, rng, n=60):
+        ctr, nrm = [], []
+        for _ in range(n):
+            axis = rng.integers(0, 3)
+            v = np.zeros(3); v[axis] = rng.choice([-1, 1])
+            c = rng.uniform(-4, 4, 3); c[axis] = rng.choice([-2.0, 2.0])
+            ctr.append(c); nrm.append(v)
+        return (np.asarray(ctr, np.float32), np.asarray(nrm, np.float32))
+
+    def test_aliased_partial_match_rejected(self):
+        """An aliased match (only the shared constellation fits, the
+        rest of the query cloud has no counterpart — e.g. the two
+        ends of a corridor) must be rejected by the overlap-fraction
+        gate even though the fit is converged and well-conditioned.
+        This false positive was MEASURED: the stress corpus pushed a
+        cross-session edge joining the corridor's two mouths (28 m
+        apart in truth) and poisoned the merge."""
+        rng = np.random.default_rng(5)
+        tc, tn = self._constellation(rng)
+        # query: the same constellation (identity fit), PLUS 2x as
+        # many cells with no counterpart (the room behind the door)
+        extra_c = rng.uniform(-4, 4, (120, 3)).astype(np.float32)
+        extra_c[:, 1] += 9.0  # beyond the p2p gate of any target
+        extra_n = np.zeros((120, 3), np.float32)
+        extra_n[:, 2] = 1.0
+        sc = np.concatenate([tc, extra_c])
+        sn = np.concatenate([tn, extra_n])
+        M, Q = len(tc), len(sc)
+        kw = dict(icp_eigval=3.0)
+        args = (
+            jnp.asarray(sc), jnp.asarray(sn), jnp.ones(Q, bool),
+            jnp.asarray(tc), jnp.asarray(tn), jnp.ones(M, bool),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        )
+        res_off = icp.icp_plane(*args, min_match_frac=0.0, **kw)
+        assert bool(res_off.accepted), (
+            "without the gate the aliased fit passes (the bug)"
+        )
+        res_on = icp.icp_plane(*args, min_match_frac=0.35, **kw)
+        assert not bool(res_on.accepted), (
+            "overlap gate must reject the aliased partial match"
+        )
+
+    def test_true_match_passes_gate(self):
+        rng = np.random.default_rng(6)
+        tc, tn = self._constellation(rng, n=120)
+        res = icp.icp_plane(
+            jnp.asarray(tc), jnp.asarray(tn), jnp.ones(len(tc), bool),
+            jnp.asarray(tc), jnp.asarray(tn), jnp.ones(len(tc), bool),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            icp_eigval=3.0, min_match_frac=0.35,
+        )
+        assert bool(res.accepted)

@@ -315,3 +315,72 @@ class TestComponents:
         ))
         comps = mgr.components()
         assert [0, 2] in comps and [1, 3] in comps and [4] in comps
+
+
+class TestPoisonedLinkRecovery:
+    def test_two_witnesses_outvote_bad_first_link(self):
+        """A first cross-session link with a bad ICP yaw poisons the
+        merged frame; later GOOD loops then all show huge drift and
+        the relink gate rejects them forever.  Two consecutive
+        rejections that imply the SAME frame correction must replace
+        the pair's edges, rigidly re-connect, and re-solve."""
+        mgr = _mgr()
+        n = 8
+        for i in range(n):
+            mgr.push_scan_pose(
+                _pose_dict(np.eye(3), [0.6 * i, 0.0, 0.0], v6=1e-4)
+            )
+        mgr.new_session()
+        # session 1 follows the same true route, estimated in the
+        # usual reset frame (z + 30)
+        for i in range(n):
+            mgr.push_scan_pose(
+                _pose_dict(np.eye(3), [0.6 * i, 0.0, 30.0], v6=1e-4)
+            )
+        cloud = np.zeros((16, 3), np.float32)
+        cm = np.ones(16, bool)
+
+        def kfp(si, fs):
+            s = mgr.sessions[si][fs]
+            return manager.Keyframe(si, si * 10 + fs, fs,
+                                    s["R"].copy(), s["p"].copy(),
+                                    cloud, cm)
+
+        # TRUE relative transform between matching scans: identity
+        # (both sessions traverse the same poses).  Bad first link:
+        # yaw off by 0.3 rad.
+        bad_R = _rotz(0.3)
+        kf1 = kfp(1, 2)
+        tgt1 = kfp(0, 2)
+        pushed, want = mgr._gate_and_push_edge(
+            kf1, bad_R, np.zeros(3), tgt1
+        )
+        assert pushed and want
+        mgr._optimize(kf1, tgt1)
+        # frame is now poisoned: session 1 rotated ~0.3 rad about the
+        # connect point
+        p_err = np.linalg.norm(
+            mgr.sessions[1][6]["p"] - mgr.sessions[0][6]["p"]
+        )
+        assert p_err > 0.3, "bad link should poison the frame"
+
+        # two good loops at other keyframes (exact identity measure)
+        kf2, tgt2 = kfp(1, 5), kfp(0, 5)
+        pushed, _ = mgr._gate_and_push_edge(
+            kf2, np.eye(3), np.zeros(3), tgt2
+        )
+        assert not pushed, "first good relink must be gated"
+        kf3, tgt3 = kfp(1, 6), kfp(0, 6)
+        pushed, want = mgr._gate_and_push_edge(
+            kf3, np.eye(3), np.zeros(3), tgt3
+        )
+        assert pushed and want, "agreeing witness must trigger replace"
+        mgr._optimize(kf3, tgt3)
+        pair_edges = [e for e in mgr.loop_edges
+                      if {e.s1, e.s2} == {0, 1}]
+        assert len(pair_edges) == 2, "poisoned edge must be dropped"
+        for i in range(n):
+            d = np.linalg.norm(
+                mgr.sessions[1][i]["p"] - mgr.sessions[0][i]["p"]
+            )
+            assert d < 0.2, f"pose {i} still off by {d:.2f} m"

@@ -77,6 +77,15 @@ class LocalBACfg:
 class LoopCfg:
     jud_default: float = 0.5
     icp_eigval: float = 10.0
+    # min fraction of query plane cells that must be ICP fine-stage
+    # inliers — rejects aliased matches (e.g. corridor-end vs
+    # corridor-end) that are well-conditioned but only fit the
+    # shared constellation
+    icp_min_match_frac: float = 0.35
+    # number of pairwise-consistent cross-session links required to
+    # commit a merge (1 = reference single-link behavior; 2 = robust
+    # to perceptual aliasing between similar-looking places)
+    relocal_witnesses: int = 2
     ratio_drift: float = 0.05
     curr_halt: int = 10
     prev_halt: int = 10

@@ -274,6 +274,27 @@ def make_multiroom(seed: int = 0, height: float = 4.5,
     wall_x(44, 20, 34, -1)
     floor_ceil(28, 44, 20, 34)
 
+    # Structural partitions that make the rooms DISTINGUISHABLE.
+    # Rooms A and B were identical 14x12 rectangles: their
+    # wall/floor/ceiling plane constellations alias perfectly, so a
+    # BTC+ICP match of room B against room A is well-conditioned,
+    # converged, and mostly-overlapping — a systematic false
+    # relocalization no geometric gate can reject (measured: a
+    # cross-session first link placed room B onto room A).  Real
+    # buildings' rooms differ; give each room a differently-placed
+    # floor-to-ceiling partition stub (off the waypoint route).
+    def partition(x0, x1, y, half_th=0.06):
+        rect([(x0 + x1) / 2, y + half_th, 0], [0, 1, 0],
+             [(x1 - x0) / 2, 0, 0], [0, 0, sz])
+        rect([(x0 + x1) / 2, y - half_th, 0], [0, -1, 0],
+             [(x1 - x0) / 2, 0, 0], [0, 0, sz])
+        rect([x0, y, 0], [-1, 0, 0], [0, half_th, 0], [0, 0, sz])
+        rect([x1, y, 0], [1, 0, 0], [0, half_th, 0], [0, 0, sz])
+
+    partition(-6.5, -4.8, 4.6)   # room A: NW corner stub
+    partition(40.5, 42.5, -4.8)  # room B: SE corner stub
+    partition(29.0, 31.5, 31.5)  # room C: NW stub
+
     # clutter in the rooms, clear of the path corridor through each
     rooms = [((-7, 7), (-6, 6), (0.0, 0.0)),
              ((29, 43), (-6, 6), (36.0, 0.0)),

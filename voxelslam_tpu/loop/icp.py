@@ -43,6 +43,7 @@ def icp_plane(
     t0: jnp.ndarray,
     icp_eigval: float = 10.0,
     max_iter: int = 20,
+    min_match_frac: float = 0.0,
 ) -> IcpResult:
     dtype = src_pts.dtype
     coarse = jnp.asarray([0.2, 0.2, 0.5, 3.0], dtype)
@@ -108,4 +109,15 @@ def icp_plane(
     )
     ev = eigh3.eigvals3(nnt)
     accepted = (ev[0] > icp_eigval) & converged
+    if min_match_frac > 0.0:
+        # overlap gate: an ALIASED match (e.g. the two ends of a
+        # corridor — same wall/door constellation) can be
+        # well-conditioned AND converged, but only the shared
+        # constellation fits; the query's remaining cells (the room
+        # behind the door) find no counterpart.  Require a minimum
+        # fraction of valid query cells to be fine-stage inliers.
+        n_src = jnp.maximum(jnp.sum(src_mask), 1)
+        accepted = accepted & (
+            cnt >= min_match_frac * n_src.astype(dtype)
+        )
     return IcpResult(R, t, accepted, converged, ev[0], cnt)

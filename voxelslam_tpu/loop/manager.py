@@ -42,7 +42,8 @@ from . import btc, database, icp, posegraph
 @partial(
     jax.jit,
     static_argnames=(
-        "p", "sp", "capacity_kf", "n_icp", "icp_eigval", "kf_ds", "m_out"
+        "p", "sp", "capacity_kf", "n_icp", "icp_eigval",
+        "icp_min_match_frac", "kf_ds", "m_out"
     ),
     donate_argnums=(0,),
 )
@@ -59,6 +60,7 @@ def keyframe_program(
     capacity_kf: int,
     n_icp: int,
     icp_eigval: float,
+    icp_min_match_frac: float,
     kf_ds: float,
     m_out: int,
 ):
@@ -85,6 +87,7 @@ def keyframe_program(
             planes.center, planes.normal, planes.valid,
             db.kf_plane_c[f], db.kf_plane_n[f], db.kf_plane_v[f],
             cands.R[ci], cands.t[ci], icp_eigval=icp_eigval,
+            min_match_frac=icp_min_match_frac,
         )
 
     rs = jax.vmap(one)(jnp.arange(n_icp))
@@ -124,6 +127,7 @@ class LoopManager:
         kf_downsample: float = 0.1,
         kf_max_points: int = 16384,
         icp_eigval: float = 10.0,
+        icp_min_match_frac: float = 0.35,
         min_kf_rot_deg: float = 5.0,
         min_kf_trans: float = 0.1,
         db_capacity: int = 1 << 17,
@@ -132,8 +136,13 @@ class LoopManager:
         curr_halt: int = 10,
         prev_halt: int = 10,
         n_icp: Optional[int] = None,
+        relocal_witnesses: int = 1,
     ):
         self.ratio_drift = ratio_drift
+        # cross-session merge policy: 1 = commit on the first
+        # verified link (reference behavior); >=2 = require that many
+        # pairwise-consistent links (robust to perceptual aliasing)
+        self.relocal_witnesses = relocal_witnesses
         self.curr_halt = curr_halt
         self.prev_halt = prev_halt
         self.p = btc_params
@@ -142,6 +151,7 @@ class LoopManager:
         self.kf_downsample = kf_downsample
         self.kf_max_points = kf_max_points
         self.icp_eigval = icp_eigval
+        self.icp_min_match_frac = icp_min_match_frac
         # candidates ICP-verified in-program per keyframe
         self.n_icp = n_icp if n_icp else search_params.candidate_num
         self.min_kf_rot = np.deg2rad(min_kf_rot_deg)
@@ -166,6 +176,18 @@ class LoopManager:
         # drift / travel-since-link < ratio_drift (the reference's
         # jours[id] bookkeeping, voxelslam.cpp:2043-2054)
         self._link_jour: dict = {}
+        # first cross-session links whose rigid connect is still
+        # pending: (LoopEdge, kf, tgt, move_sessions|None) — applied
+        # at the next _optimize, BEFORE the GN solve
+        # (see _apply_pending_links)
+        self._pending_links: list = []
+        # held first-link candidates per unmerged pair (witness mode)
+        self._candidate_links: dict = {}
+        # last REJECTED relink per pair: (G_R, G_p, edge, kf, tgt) —
+        # two consecutive rejections agreeing on the same frame
+        # correction outvote a poisoned stored link (see
+        # _gate_and_push_edge)
+        self._rejected_relink: dict = {}
         self.g_update_pending = False  # cross-session merge -> gravity
         #                                refresh in the window BA
 
@@ -311,6 +333,7 @@ class LoopManager:
             np.int32(self.db.count), np.int32(kf.id), np.int32(kf.session),
             p=self.p, sp=self.sp, capacity_kf=self.db.capacity_kf,
             n_icp=self.n_icp, icp_eigval=float(self.icp_eigval),
+            icp_min_match_frac=float(self.icp_min_match_frac),
             kf_ds=float(self.kf_downsample), m_out=self.kf_max_points,
         )
         self.db.state = new_db
@@ -402,15 +425,117 @@ class LoopManager:
             # drifts pass outright (travel right after a link is ~0).
             travel = kf_jour - self._link_jour.get(pair, 0.0)
             if drift / max(travel, 1e-6) > self.ratio_drift and drift > 0.1:
-                return False, False
+                # Poisoned-link escape hatch: if the FIRST link's ICP
+                # yaw was wrong (accepted at a weakly-constrained
+                # site), every later GOOD loop shows huge drift and
+                # is rejected here forever.  Two independent
+                # rejections that imply the SAME frame correction
+                # outvote the stored link: replace the pair's edges,
+                # rigidly re-connect the keyframe's session, and
+                # force a solve.
+                pred_R = tgt.R0 @ Rm
+                pred_p = tgt.R0 @ tm + tgt.p0
+                G_R = pred_R @ kf.R0.T
+                G_p = pred_p - G_R @ kf.p0
+                prev = self._rejected_relink.get(pair)
+                ok = False
+                if prev is not None:
+                    pR, pp, pedge, pkf, ptgt = prev
+                    c = (np.trace(pR.T @ G_R) - 1.0) / 2.0
+                    dang = float(np.arccos(np.clip(c, -1.0, 1.0)))
+                    dpos = float(np.linalg.norm(
+                        (G_R @ kf.p0 + G_p) - (pR @ kf.p0 + pp)
+                    ))
+                    ok = dang < 0.09 and dpos < 3.0
+                if not ok:
+                    print(
+                        f"[voxelslam-tpu] relink s{tgt.session}<-s"
+                        f"{kf.session} REJECTED drift {drift:.2f} "
+                        f"travel {travel:.2f}"
+                    )
+                    self._rejected_relink[pair] = (
+                        G_R, G_p,
+                        LoopEdge(
+                            s1=tgt.session, s2=kf.session,
+                            scan1=tgt.first_scan, scan2=kf.first_scan,
+                            R=Rm, t=tm, v6=v6,
+                        ),
+                        kf, tgt,
+                    )
+                    return False, False
+                # consistent pair of witnesses: drop the poisoned
+                # edges, queue both agreeing edges + a rigid
+                # re-connect of the keyframe's session chain
+                del self._rejected_relink[pair]
+                self.loop_edges = [
+                    e for e in self.loop_edges
+                    if (min(e.s1, e.s2), max(e.s1, e.s2)) != pair
+                ]
+                # current edge FIRST with an explicit move of the
+                # keyframe's session chain (the component test would
+                # be defeated by any remaining multi-hop connection);
+                # the witness edge then appends plainly
+                self._pending_links.append((
+                    LoopEdge(
+                        s1=tgt.session, s2=kf.session,
+                        scan1=tgt.first_scan, scan2=kf.first_scan,
+                        R=Rm, t=tm, v6=v6,
+                    ),
+                    kf, tgt, {kf.session},
+                ))
+                self._pending_links.append((pedge, pkf, ptgt, set()))
+                self._link_jour[pair] = kf_jour
+                return True, True
         first_link = (not same) and pair not in self._merged_sessions
-        self.loop_edges.append(
-            LoopEdge(
-                s1=tgt.session, s2=kf.session,
-                scan1=tgt.first_scan, scan2=kf.first_scan,
-                R=Rm, t=tm, v6=v6,
-            )
+        yaw = float(np.degrees(np.arctan2(Rm[1, 0], Rm[0, 0])))
+        print(
+            f"[voxelslam-tpu] loop edge s{tgt.session}:{tgt.first_scan}"
+            f" <- s{kf.session}:{kf.first_scan} yaw {yaw:+.1f} deg"
+            f" |t| {float(np.linalg.norm(tm)):.2f} drift {drift:.2f}"
+            f"{' FIRST-LINK' if first_link else ''}"
         )
+        edge = LoopEdge(
+            s1=tgt.session, s2=kf.session,
+            scan1=tgt.first_scan, scan2=kf.first_scan,
+            R=Rm, t=tm, v6=v6,
+        )
+        if first_link and self.relocal_witnesses > 1:
+            # Witness-based relocalization (PCM-style pairwise
+            # consistency): a FIRST cross-session link has no prior —
+            # any single match, including a perceptual alias (two
+            # similar rooms), is self-consistent.  Commit the merge
+            # only when TWO independent cross-links imply the same
+            # rigid frame correction.
+            pred_R = tgt.R0 @ Rm
+            pred_p = tgt.R0 @ tm + tgt.p0
+            G_R = pred_R @ kf.R0.T
+            G_p = pred_p - G_R @ kf.p0
+            prev = self._candidate_links.get(pair)
+            agree = False
+            if prev is not None:
+                pR, pp, pedge, pkf, ptgt = prev
+                c = (np.trace(pR.T @ G_R) - 1.0) / 2.0
+                dang = float(np.arccos(np.clip(c, -1.0, 1.0)))
+                dpos = float(np.linalg.norm(
+                    (G_R @ kf.p0 + G_p) - (pR @ kf.p0 + pp)
+                ))
+                agree = dang < 0.09 and dpos < 1.5
+            if not agree:
+                self._candidate_links[pair] = (G_R, G_p, edge, kf, tgt)
+                print(
+                    f"[voxelslam-tpu] first-link s{tgt.session}<-"
+                    f"s{kf.session} HELD (awaiting consistent witness)"
+                )
+                return False, False
+            del self._candidate_links[pair]
+            self._pending_links.append((edge, kf, tgt, None))
+            self._pending_links.append((pedge, pkf, ptgt, set()))
+        elif first_link:
+            # defer the append: the rigid component connect must see
+            # the partition WITHOUT this edge (_apply_pending_links)
+            self._pending_links.append((edge, kf, tgt, None))
+        else:
+            self.loop_edges.append(edge)
         self._since_opt += 1
         if first_link:
             self._merged_sessions.add(pair)
@@ -545,20 +670,80 @@ class LoopManager:
         )
         return g, offsets
 
+    def _apply_pending_links(self):
+        """Rigid component connect for first cross-session links (the
+        reference's PGO_Edges connect/tras, loop_refine.hpp:163-267).
+
+        A first link joins two components whose frames differ by a
+        LARGE rigid transform (sessions restart z+30·k and with an
+        arbitrary yaw): fed raw to GN+PCG, that correction must
+        propagate hop-by-hop through every sequential edge — 8×50
+        capped iterations leave the offset SMEARED along the chains
+        (measured: z ramps of ~70 m inside one session).  Instead,
+        rigidly move the newer component onto the older frame using
+        the verified loop measurement itself, THEN let GN polish the
+        (now small) residuals."""
+        while self._pending_links:
+            edge, kf, tgt, move_override = self._pending_links.pop(0)
+            mv = None
+            G_R = G_p = None
+            # predicted query pose from the measurement:
+            # x_qry ≈ x_tgt ∘ T  (T = edge.R, edge.t)
+            pred_R = tgt.R0 @ edge.R
+            pred_p = tgt.R0 @ edge.t + tgt.p0
+            if move_override is not None:
+                if move_override:  # explicit set of sessions to move
+                    mv = set(move_override)
+                    G_R = pred_R @ kf.R0.T
+                    G_p = pred_p - G_R @ kf.p0
+                # empty set: plain edge append, no move
+            else:
+                comps = self.components()  # partition WITHOUT this edge
+                comp_kf = next(c for c in comps if kf.session in c)
+                comp_tgt = next(c for c in comps if tgt.session in c)
+                if comp_kf is not comp_tgt:
+                    if min(comp_kf) > min(comp_tgt):
+                        mv = set(comp_kf)
+                        G_R = pred_R @ kf.R0.T
+                        G_p = pred_p - G_R @ kf.p0
+                    else:  # keep the anchor component fixed
+                        mv = set(comp_tgt)
+                        G_R = (kf.R0 @ edge.R.T) @ tgt.R0.T
+                        G_p = (kf.p0 - kf.R0 @ edge.R.T @ edge.t
+                               - G_R @ tgt.p0)
+            if mv:
+                for si in mv:
+                    for s in self.sessions[si]:
+                        s["R"] = G_R @ s["R"]
+                        s["p"] = G_R @ s["p"] + G_p
+                        s["v"] = G_R @ s["v"]
+                        s["g"] = G_R @ s["g"]
+                for k in self.keyframes:
+                    if k.session in mv:
+                        k.R0 = G_R @ k.R0
+                        k.p0 = G_R @ k.p0 + G_p
+            self.loop_edges.append(edge)
+
     def _optimize(self, kf: Keyframe, tgt: Keyframe) -> dict:
         """Solve the pose graph and write back (voxelslam.cpp:2088-2175)."""
+        sess0 = self.sessions[-1]
+        # capture the current session's tail BEFORE the rigid connect:
+        # the returned dx must cover connect + GN polish so the
+        # front-end map correction sees the full transform
+        R_old = sess0[-1]["R"].copy() if sess0 else np.eye(3)
+        p_old = sess0[-1]["p"].copy() if sess0 else np.zeros(3)
+        self._apply_pending_links()
         g, offsets = self._graph_arrays()
         R, p, chi2 = posegraph.optimize(g)
         R = np.asarray(R)
         p = np.asarray(p)
         self.n_optimizations += 1
 
-        # rigid correction of the CURRENT session's latest scan
+        # rigid correction of the CURRENT session's latest scan,
+        # relative to its pose BEFORE the rigid connect + solve
         sess = self.sessions[-1]
         off = offsets[-1]
         last = len(sess) - 1
-        R_old = sess[last]["R"]
-        p_old = sess[last]["p"]
         R_new = R[off + last]
         p_new = p[off + last]
         dx_R = R_new @ R_old.T
@@ -570,6 +755,7 @@ class LoopManager:
             for i, s in enumerate(s_list):
                 rot = R[o + i] @ s["R"].T
                 s["v"] = rot @ s["v"]
+                s["g"] = rot @ s["g"]
                 s["R"] = R[o + i]
                 s["p"] = p[o + i]
         for k in self.keyframes:

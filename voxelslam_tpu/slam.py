@@ -258,7 +258,11 @@ class SlamFrontend:
                 )
             )
             if self.degrade_cnt > self.cfg.odometry.degrade_bound:
-                self._reset("degeneracy bound exceeded")
+                self._reset(
+                    "degeneracy bound exceeded",
+                    handoff=self.scan_poses[-1] if self.scan_poses
+                    else None,
+                )
                 break
         return rec
 
@@ -529,6 +533,7 @@ class SlamFrontend:
                 sp["R"] = dxR @ sp["R"]
                 sp["p"] = dxR @ sp["p"] + dxp
                 sp["v"] = dxR @ sp["v"]
+                sp["g"] = dxR @ sp["g"]
         kfs = event["kf_clouds"]
         K = len(kfs)
         P = kfs[0][0].shape[0]
@@ -557,7 +562,8 @@ class SlamFrontend:
         self.records.append(rec)
         return rec
 
-    def _reset(self, reason: str, new_session: bool = True):
+    def _reset(self, reason: str, new_session: bool = True,
+               handoff: Optional[dict] = None):
         """system_reset (voxelslam.cpp:1290-1317): destroy the map,
         restart a new session spatially offset so sessions never alias
         (restart pose z+30).
@@ -570,7 +576,19 @@ class SlamFrontend:
         system reset (voxelslam.cpp:1618-1634); sustained degeneracy
         (e.g. a featureless corridor) otherwise inflates the session
         count by one per failed attempt and drowns the pose graph in
-        empty fragments."""
+        empty fragments.
+
+        handoff (degrade resets): the last resolved ScanPose of the
+        dying session.  The new session's world frame is defined as
+        the body frame at reset, so the old state transfers exactly:
+        v, g rotate by R_oldᵀ; the IMU biases are frame-free.  When a
+        reset fires mid-motion (the only way degeneracy resets
+        happen), a fresh static init would average MOVING accel into
+        gravity and restart v at zero while walking — seeding the
+        new session with the carried state skips the blind static
+        window entirely (phase goes straight to FILL).  Degeneracy
+        corrupts translation along the unconstrained axis; the local
+        orientation/velocity/bias estimates remain valid."""
         print(f"[voxelslam-tpu] session reset: {reason}")
         self._pending = []
         self._batch_buf = []
@@ -586,6 +604,15 @@ class SlamFrontend:
         x = carry.x._replace(
             p=jnp.asarray([0.0, 0.0, 30.0 * self.session], self.dtype)
         )
+        if handoff is not None:
+            R_old = np.asarray(handoff["R"])
+            x = x._replace(
+                v=jnp.asarray(R_old.T @ handoff["v"], self.dtype),
+                bg=jnp.asarray(handoff["bg"], self.dtype),
+                ba=jnp.asarray(handoff["ba"], self.dtype),
+                g=jnp.asarray(R_old.T @ handoff["g"], self.dtype),
+            )
+            self.phase = "FILL"
         self.carry = carry._replace(x=x)
 
     # ----------------------------------------------------------- helpers
@@ -650,9 +677,11 @@ class VoxelSLAM:
             win_size=cfg.local_ba.win_size,
             kf_downsample=cfg.odometry.voxel_size / 10.0,
             icp_eigval=cfg.loop.icp_eigval,
+            icp_min_match_frac=cfg.loop.icp_min_match_frac,
             ratio_drift=cfg.loop.ratio_drift,
             curr_halt=cfg.loop.curr_halt,
             prev_halt=cfg.loop.prev_halt,
+            relocal_witnesses=cfg.loop.relocal_witnesses,
         )
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
@@ -701,6 +730,21 @@ class VoxelSLAM:
         if event is None:
             return
         self.loop_events.append(event)
+        # Poses RESOLVED before the event but not yet drained to the
+        # loop layer sit in the frontend queue in the pre-correction
+        # frame — missed by both the loop layer's writeback (not in
+        # sessions yet) and apply_loop_correction's mark (appended
+        # before it).  Left alone they enter the pose graph ~60 m off
+        # with garbage boundary odometry measurements locked in
+        # (measured: a 10-pose spike at the first cross-session
+        # connect).  Transform the queue before draining continues.
+        dxR = np.asarray(event["dx_R"], np.float32)
+        dxp = np.asarray(event["dx_p"], np.float32)
+        for sp in self.frontend.scan_poses[self._drained:]:
+            sp["R"] = dxR @ sp["R"]
+            sp["p"] = dxR @ sp["p"] + dxp
+            sp["v"] = dxR @ sp["v"]
+            sp["g"] = dxR @ sp["g"]
         self.frontend.apply_loop_correction(event)
         if self.loop.g_update_pending:
             self.frontend.g_update = True
@@ -811,13 +855,20 @@ class VoxelSLAM:
                     w=jnp.asarray(w_p),
                     edge_valid=jnp.asarray(eval_p),
                 )
-                R, p, chi2 = posegraph.optimize(g)
+                # one-time final solve: give PCG enough iterations for
+                # corrections to propagate the full chain length (a
+                # correction travels ~1 hop per CG iteration under
+                # block-Jacobi; 8x50 leaves long chains half-bent)
+                R, p, chi2 = posegraph.optimize(
+                    g, n_iters=16, cg_iters=256
+                )
                 R = _np.asarray(R)
                 p = _np.asarray(p)
                 for o, sess in zip(offsets, self.loop.sessions):
                     for i, s in enumerate(sess):
                         rot = R[o + i] @ s["R"].T
                         s["v"] = rot @ s["v"]
+                        s["g"] = rot @ s["g"]
                         s["R"] = R[o + i]
                         s["p"] = p[o + i]
                 for k in kfs:
