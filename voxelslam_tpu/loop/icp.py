@@ -42,7 +42,10 @@ def icp_plane(
     R0: jnp.ndarray,
     t0: jnp.ndarray,
     icp_eigval: float = 10.0,
-    max_iter: int = 20,
+    # 20 left true revisit candidates unconverged (coarse stage eats
+    # most of the budget when the BTC initial guess is ~1-2 m off);
+    # the program runs once per keyframe, so 2x iterations are cheap
+    max_iter: int = 40,
     min_match_frac: float = 0.0,
 ) -> IcpResult:
     dtype = src_pts.dtype

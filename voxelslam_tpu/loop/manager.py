@@ -363,11 +363,23 @@ class LoopManager:
         # the top n_icp candidates.
         accepted = []  # (candidate row, target Keyframe)
         done_sessions = set()
+        import os as _os
+        _dbg = _os.environ.get("VOXELSLAM_LOOP_DEBUG")
         for ci in range(self.n_icp):
             frame = int(cands.frame[ci])
             if frame < 0:
                 break  # sorted by score: rest are below threshold
             cand_tgt = self.keyframes[frame]
+            if _dbg:
+                print(
+                    f"[loop-dbg] kf s{kf.session}:{kf.first_scan} cand"
+                    f" {ci} -> s{cand_tgt.session}:"
+                    f"{cand_tgt.first_scan} acc="
+                    f"{bool(rs.accepted[ci])} conv="
+                    f"{bool(rs.converged[ci])} eig="
+                    f"{float(rs.min_eig[ci]):.1f} cnt="
+                    f"{int(rs.match_count[ci])}"
+                )
             if cand_tgt.session in done_sessions:
                 continue
             if bool(rs.accepted[ci]):
