@@ -227,7 +227,8 @@ def _full_system(out):
     out["full_system_ate_after_gba_m"] = round(ate_after, 4)
     out["full_system_loops"] = slam.loop.n_loops_found
     out["full_system_finish_s"] = round(finish_s, 1)
-    for k in ("loop", "gba_window", "dispatch", "resolve", "pack"):
+    for k in ("loop", "gba_window", "midterm", "fe_step", "dispatch",
+              "resolve", "pack"):
         st = tel.stages.get(k)
         if st is not None and st.count:
             out[f"stage_{k}_ms"] = round(1000.0 * st.mean, 2)
@@ -254,7 +255,11 @@ def main():
     sb = cfg.shapes.scan_batch
     warm = cfg.local_ba.win_size + 1 + 2 * sb
     seg = 128
-    timed_n = 512
+    # 6 contiguous segments; the final flush (draining the pipe_depth
+    # in-flight batches — real work for timed scans) is timed into the
+    # last segment, so a longer window amortizes that fixed tail
+    # honestly instead of moving the fence around it
+    timed_n = 768
 
     def make_room_data(n):
         traj = synthetic.Trajectory(

@@ -83,6 +83,48 @@ def test_cross_session_merge():
 
 
 @pytest.mark.slow
+def test_kf_inflight_pipeline_equivalent():
+    """kf_inflight=2 (deeper keyframe device pipeline, hides the
+    resolve wait behind ~2 keyframes of device time) must find the
+    same loops as the depth-1 pipeline; corrections may arrive one
+    keyframe later and compose at flush_pending()."""
+    results = {}
+    for depth in (1, 2):
+        rng = np.random.default_rng(11)
+        p = btc.BtcParams(line_filter_enable=False, n_proj=4,
+                          max_triangles=2048, voxel_init_num=5)
+        sp = database.SearchParams(skip_near_num=2)
+        mgr = manager.LoopManager(
+            p, sp, win_size=3, kf_downsample=0.15,
+            min_kf_rot_deg=0.0, min_kf_trans=0.05,
+            db_capacity=1 << 15, kf_capacity=128,
+            icp_eigval=3.0, kf_inflight=depth,
+        )
+        line0 = [(0.4 * i, 0.0, 0.0) for i in range(9)]
+        for s in _fake_scan_poses(rng, line0):
+            mgr.push_scan_pose(s)
+        mgr.new_session()
+        bias = np.asarray([0.3, -0.2, 0.05])
+        line1 = [(0.4 * i + bias[0], bias[1], bias[2]) for i in range(9)]
+        events = []
+        for s in _fake_scan_poses(rng, line1):
+            ev = mgr.push_scan_pose(dict(s))
+            if ev is not None:
+                events.append(ev)
+        ev = mgr.flush_pending()  # resolves ALL queued keyframes
+        if ev is not None:
+            events.append(ev)
+        assert not mgr._kf_queue
+        results[depth] = (mgr.n_loops_found, len(mgr.loop_edges), events)
+    n1, e1, ev1 = results[1]
+    n2, e2, ev2 = results[2]
+    assert n2 == n1, f"loops found differ: depth1={n1} depth2={n2}"
+    assert e2 == e1
+    assert ev2, "pipelined manager must still emit a correction event"
+    assert np.isfinite(ev2[0]["dx_p"]).all()
+
+
+@pytest.mark.slow
 def test_loop_recall_multi_revisit():
     """Loop recall over repeated revisits of the same place: the
     top-k candidate verification (reference ICP-verifies every

@@ -100,6 +100,11 @@ class LoopCfg:
     candidate_num: int = 20  # candidate frames verified per query
     max_pairs_per_query: int = 16  # top side-distance matches kept
     max_cand_pairs: int = 128  # matched pairs evaluated per candidate
+    # keyframe device programs allowed in flight before the oldest is
+    # resolved: 2 gives each program ~2 keyframes (~20 scans) of device
+    # time so the resolve never blocks behind the frontend's in-flight
+    # batches (loop corrections arrive one keyframe later)
+    kf_inflight: int = 2
 
 
 @dataclass(frozen=True)

@@ -137,6 +137,7 @@ class LoopManager:
         prev_halt: int = 10,
         n_icp: Optional[int] = None,
         relocal_witnesses: int = 1,
+        kf_inflight: int = 1,
     ):
         self.ratio_drift = ratio_drift
         # cross-session merge policy: 1 = commit on the first
@@ -165,7 +166,17 @@ class LoopManager:
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[LoopEdge] = []
         self._pending: List[dict] = []  # scans waiting to form a keyframe
-        self._kf_pending = None  # in-flight keyframe device program
+        # in-flight keyframe device programs (FIFO).  `kf_inflight` is
+        # how many may be outstanding before push_scan_pose resolves
+        # the oldest: at 1 the resolve happens one keyframe (~10 scans)
+        # after dispatch, which still blocks behind the frontend's
+        # in-flight batch queue (~2 batches of device time, measured
+        # ~9 ms/scan amortized on the full-system bench); at 2 the
+        # program has ~20 scans of device time and the resolve is a
+        # pure transfer.  Loop corrections arrive one keyframe later —
+        # the same staleness the async writeback already tolerates.
+        self.kf_inflight = max(1, int(kf_inflight))
+        self._kf_queue: List[tuple] = []
         self._last_kf_pose: Optional[tuple] = None
         self.n_loops_found = 0
         self.n_optimizations = 0
@@ -198,17 +209,42 @@ class LoopManager:
         return len(self.sessions) - 1
 
     def flush_pending(self) -> Optional[dict]:
-        """Resolve the in-flight keyframe (end of stream / before PGO
-        assembly at finish)."""
-        return self._resolve_keyframe()
+        """Resolve ALL in-flight keyframes (end of stream / before PGO
+        assembly at finish).  With kf_inflight > 1 several may resolve;
+        their correction events compose — the combined frontend
+        correction is returned (later events already operate on
+        manager poses corrected by earlier ones)."""
+        events = []
+        while self._kf_queue:
+            e = self._resolve_keyframe()
+            if e is not None:
+                events.append(e)
+        if not events:
+            return None
+        if len(events) == 1:
+            return events[0]
+        # compose dx_2 ∘ dx_1 (applied left to right on frontend poses)
+        import numpy as _np
+
+        R = _np.asarray(events[0]["dx_R"], _np.float32)
+        p = _np.asarray(events[0]["dx_p"], _np.float32)
+        for e in events[1:]:
+            R2 = _np.asarray(e["dx_R"], _np.float32)
+            p2 = _np.asarray(e["dx_p"], _np.float32)
+            R, p = R2 @ R, R2 @ p + p2
+        out = dict(events[-1])
+        out["dx_R"], out["dx_p"] = R, p
+        return out
 
     def new_session(self):
         """reset_flag handling (voxelslam.cpp:1856-1887)."""
-        # resolve the old session's in-flight keyframe first: its PGO
-        # writeback correction targets that session's latest pose, not
-        # the new (reset) one — the event is dropped (the frontend map
-        # was just wiped anyway) but manager poses are corrected.
-        self._resolve_keyframe()
+        # resolve the old session's in-flight keyframes first: their
+        # PGO writeback corrections target that session's latest pose,
+        # not the new (reset) one — the events are dropped (the
+        # frontend map was just wiped anyway) but manager poses are
+        # corrected.
+        while self._kf_queue:
+            self._resolve_keyframe()
         self.sessions.append([])
         self._pending = []
         self._last_kf_pose = None
@@ -271,12 +307,14 @@ class LoopManager:
 
         kf, raw_pts, raw_mask = self._build_keyframe(self._pending)
         self._pending = []
-        # dispatch-and-defer: resolve the PREVIOUS keyframe's device
-        # results first (its program has had ~win_size scans of device
-        # time), then dispatch this one.  Resolving immediately would
-        # block on the frontend batch dispatched just before this drain
-        # (~a full batch of device time per keyframe).
-        event = self._resolve_keyframe()
+        # dispatch-and-defer: resolve the OLDEST in-flight keyframe
+        # only once `kf_inflight` programs are outstanding (see
+        # __init__), then dispatch this one.  Resolving immediately
+        # would block on the frontend batch dispatched just before
+        # this drain (~a full batch of device time per keyframe).
+        event = None
+        if len(self._kf_queue) >= self.kf_inflight:
+            event = self._resolve_keyframe()
         self._dispatch_keyframe(kf, raw_pts, raw_mask)
         return event
 
@@ -323,8 +361,9 @@ class LoopManager:
 
     def _dispatch_keyframe(self, kf: Keyframe, raw_pts: np.ndarray,
                            raw_mask: np.ndarray) -> None:
-        assert self._kf_pending is None, (
-            "keyframe dispatched while one is in flight — resolve first"
+        assert len(self._kf_queue) <= self.kf_inflight, (
+            "keyframe dispatched with the in-flight queue full — "
+            "resolve first"
         )
         T = self.p.max_triangles
         self.db.check_capacity(T, kf.id)
@@ -339,16 +378,15 @@ class LoopManager:
         self.db.state = new_db
         self.db.count += T
         self.db.n_kf = max(self.db.n_kf, kf.id + 1)
-        self._kf_pending = (kf, (ds_pts, ds_mask, cands_d, rs_d))
+        self._kf_queue.append((kf, (ds_pts, ds_mask, cands_d, rs_d)))
 
     def _resolve_keyframe(self) -> Optional[dict]:
         """Fold the in-flight keyframe's results: accept/edge policies
         + possible PGO.  Called from the NEXT keyframe's dispatch and
         from flush_pending() (PGO assembly / finish)."""
-        if self._kf_pending is None:
+        if not self._kf_queue:
             return None
-        kf, outs = self._kf_pending
-        self._kf_pending = None
+        kf, outs = self._kf_queue.pop(0)
         # one transfer for everything the host decides on
         ds_pts, ds_mask, cands, rs = jax.device_get(outs)
         kf.cloud = np.asarray(ds_pts)

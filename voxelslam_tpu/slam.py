@@ -682,6 +682,7 @@ class VoxelSLAM:
             curr_halt=cfg.loop.curr_halt,
             prev_halt=cfg.loop.prev_halt,
             relocal_witnesses=cfg.loop.relocal_witnesses,
+            kf_inflight=cfg.loop.kf_inflight,
         )
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
