@@ -80,7 +80,11 @@ def main():
         for name, fe, acc in order:
             t0 = time.time()
             feed(fe, data.scans[pos:pos + seg])
-            # settle in-flight work so the pair's timings don't bleed
+            # settle in-flight work so the pair's timings don't bleed.
+            # ONE batch intentionally stays in flight: draining fully
+            # would pay the resolve round-trip inside the timed region
+            # (the alternation of A/B order cancels the leftover in the
+            # paired mean; it does inflate per-window variance).
             while len(fe._pending) > 1:
                 fe._resolve_pending()
             r = seg / (time.time() - t0)

@@ -205,7 +205,13 @@ class GlobalMapper:
         ~6 ms/scan amortized on the full-system bench); windows become
         ready every ~stride×sub_frame_num scans, by which point the BA
         has long finished.  Returns the number of windows COMPLETED
-        this call (0 or 1)."""
+        this call (0 or 1).
+
+        Invariant: the last dispatched window stays unresolved until
+        the next ready window (or `bottom_up_drain`) — `edges`/
+        `submaps` and the gba_windows count are only complete after a
+        drain.  Mid-run consumers must call `_resolve_pending()` (or
+        drain) before reading them."""
         hp = self.hp
         ready = None
         for sess, kfs in self._by_session(keyframes).items():

@@ -355,13 +355,49 @@ class LoopManager:
 
     def _process_keyframe(self, kf: Keyframe, raw_pts: np.ndarray,
                           raw_mask: np.ndarray) -> Optional[dict]:
-        """Synchronous keyframe processing (tests / offline)."""
+        """Synchronous keyframe processing (tests / offline): dispatch,
+        then drain the whole queue so the returned event corresponds to
+        the keyframe just dispatched (with older entries queued, a
+        single resolve would return a DIFFERENT keyframe's event)."""
         self._dispatch_keyframe(kf, raw_pts, raw_mask)
-        return self._resolve_keyframe()
+        event = None
+        while self._kf_queue:
+            event = self._resolve_keyframe() or event
+        return event
+
+    def warmup(self) -> None:
+        """Compile the per-keyframe device program before the first
+        real keyframe needs it.  The program otherwise compiles inside
+        the steady stream (~15 s observed on the tunneled TPU even with
+        the persistent cache) — the single largest stall of the full
+        system (BENCH_r03 stage `loop` max 14.8 s).  Mirrors the
+        reference's design where the loop thread never blocks odometry
+        (voxelslam.cpp:2617-2619).  A scratch DbState is donated so the
+        live database is untouched."""
+        if getattr(self, "_warmed", False):
+            return
+        self._warmed = True
+        scratch = database.empty_state(
+            self.p, self.db.capacity, self.db.capacity_kf
+        )
+        P = self.kf_max_points
+        outs = keyframe_program(
+            scratch,
+            jnp.zeros((P, 3), jnp.float32), jnp.zeros((P,), bool),
+            np.int32(0), np.int32(0), np.int32(0),
+            p=self.p, sp=self.sp, capacity_kf=self.db.capacity_kf,
+            n_icp=self.n_icp, icp_eigval=float(self.icp_eigval),
+            icp_min_match_frac=float(self.icp_min_match_frac),
+            kf_ds=float(self.kf_downsample), m_out=self.kf_max_points,
+        )
+        # force execution to finish (block_until_ready does not
+        # synchronize on the tunneled axon device); the compile itself
+        # completed synchronously at dispatch
+        jax.device_get(outs[2])
 
     def _dispatch_keyframe(self, kf: Keyframe, raw_pts: np.ndarray,
                            raw_mask: np.ndarray) -> None:
-        assert len(self._kf_queue) <= self.kf_inflight, (
+        assert len(self._kf_queue) < self.kf_inflight, (
             "keyframe dispatched with the in-flight queue full — "
             "resolve first"
         )

@@ -537,10 +537,19 @@ class SlamFrontend:
         kfs = event["kf_clouds"]
         K = len(kfs)
         P = kfs[0][0].shape[0]
-        kf_pts = np.stack([k[0] for k in kfs]).astype(np.float32)
-        kf_mask = np.stack([k[1] for k in kfs])
-        kf_R = np.stack([k[2] for k in kfs]).astype(np.float32)
-        kf_p = np.stack([k[3] for k in kfs]).astype(np.float32)
+        # pad the keyframe count to a fixed 5 (the manager sends the
+        # last ≤5): a varying K would compile a fresh correction
+        # program per distinct count, mid-stream
+        Kp = max(K, 5)
+        kf_pts = np.zeros((Kp, P, 3), np.float32)
+        kf_mask = np.zeros((Kp, P), bool)
+        kf_R = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+        kf_p = np.zeros((Kp, 3), np.float32)
+        for i, k in enumerate(kfs):
+            kf_pts[i] = k[0]
+            kf_mask[i] = k[1]
+            kf_R[i] = k[2]
+            kf_p[i] = k[3]
         self.carry = pl.apply_loop_correction(
             self.carry,
             jnp.asarray(event["dx_R"], self.dtype),
@@ -692,6 +701,7 @@ class VoxelSLAM:
         ))
         self._drained = 0
         self._last_session = 0
+        self._loop_warmed = False
         self.loop_events: List[dict] = []
         if previous_sessions:
             self._load_previous(previous_sessions)
@@ -715,6 +725,13 @@ class VoxelSLAM:
     def process_scan(self, *args, **kw):
         with self.frontend.telemetry.stage("fe_step"):
             rec = self.frontend.process_scan(*args, **kw)
+        if not self._loop_warmed and self.frontend.phase == "STEADY":
+            # compile the per-keyframe loop program at the FILL→STEADY
+            # transition, next to the frontend's own warm_programs —
+            # its first compile otherwise lands mid-stream (~15 s)
+            self._loop_warmed = True
+            with self.frontend.telemetry.stage("warm_loop"):
+                self.loop.warmup()
         # mid-term association: reload one nearby historical keyframe
         if rec is not None and self.frontend.phase == "STEADY":
             k = self.loop.nearest_loadable(rec.p)
