@@ -144,6 +144,93 @@ class TestIcp:
         dR = so3.log(jnp.asarray(R_true.T, jnp.float32) @ res.R)
         assert np.abs(np.asarray(dR)).max() < 2e-2
 
+    def test_hessian_noise_scales_with_geometry(self):
+        """hdiag (the GN Hessian diagonal exported for loop-edge
+        noise, voxelslam.cpp:1761-1765) must grow with the match
+        geometry: a strong loop (many well-spread plane cells) gets a
+        tighter v6 than a weak one (few cells)."""
+        from voxelslam_tpu.loop.manager import LoopManager
+
+        def room(rng, M):
+            ctr, nrm = [], []
+            for _ in range(M):
+                axis = rng.integers(0, 3)
+                n = np.zeros(3); n[axis] = rng.choice([-1, 1])
+                c = rng.uniform(-5, 5, 3); c[axis] = rng.choice([-3.0, 3.0])
+                ctr.append(c); nrm.append(n)
+            return (np.asarray(ctr, np.float32), np.asarray(nrm, np.float32))
+
+        res = {}
+        for label, M in (("strong", 300), ("weak", 40)):
+            rng = np.random.default_rng(5)
+            ctr, nrm = room(rng, M)
+            r = icp.icp_plane(
+                jnp.asarray(ctr), jnp.asarray(nrm), jnp.ones(M, bool),
+                jnp.asarray(ctr), jnp.asarray(nrm), jnp.ones(M, bool),
+                jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+                icp_eigval=3.0,
+            )
+            assert bool(r.accepted)
+            res[label] = np.asarray(r.hdiag)
+        assert (res["strong"] > res["weak"]).all()
+        v6s = LoopManager._edge_noise(res["strong"])
+        v6w = LoopManager._edge_noise(res["weak"])
+        assert (v6s < v6w).all(), (v6s, v6w)
+        assert np.isfinite(v6s).all() and (v6s > 0).all()
+
+    def test_weak_edge_moves_solution_less(self):
+        """PGO weights differ across accepts: two CONFLICTING loop
+        measurements on the same pose pair (one fixed-weight saying
+        y=0, one variable saying y=0.5) split the pose by their
+        relative information — a weak-geometry accept must barely move
+        the solution while a strong one mostly wins."""
+        N = 12
+        shift = np.asarray([0.0, 0.5, 0.0], np.float32)
+
+        def solve(loop_w):
+            E = N + 1
+            ei = np.zeros(E, np.int32); ej = np.zeros(E, np.int32)
+            Rm = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+            tm = np.zeros((E, 3), np.float32)
+            w = np.ones((E, 6), np.float32)
+            ev = np.zeros(E, bool)
+            for k in range(N - 1):
+                ei[k], ej[k] = k, k + 1
+                tm[k] = [1.0, 0.0, 0.0]
+                w[k] = 1e2
+                ev[k] = True
+            # reference edge: last pose on the chain axis (y = 0)
+            ei[N - 1], ej[N - 1] = 0, N - 1
+            tm[N - 1] = np.asarray([N - 1.0, 0, 0], np.float32)
+            w[N - 1] = 1e2
+            ev[N - 1] = True
+            # contested edge: claims the last pose sits `shift` off
+            ei[N], ej[N] = 0, N - 1
+            tm[N] = np.asarray([N - 1.0, 0, 0], np.float32) + shift
+            w[N] = loop_w
+            ev[N] = True
+            p0 = np.stack(
+                [np.arange(N), np.zeros(N), np.zeros(N)], axis=1
+            ).astype(np.float32)
+            g = posegraph.PoseGraph(
+                R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                      (N, 1, 1))),
+                p=jnp.asarray(p0),
+                pose_valid=jnp.ones(N, bool),
+                ei=jnp.asarray(ei), ej=jnp.asarray(ej),
+                Rm=jnp.asarray(Rm), tm=jnp.asarray(tm),
+                w=jnp.asarray(w), edge_valid=jnp.asarray(ev),
+                anchor=jnp.asarray(np.arange(N) == 0),
+            )
+            _, p, _ = posegraph.optimize(g, n_iters=5, cg_iters=60)
+            return float(np.asarray(p)[N - 1, 1])
+
+        strong = solve(1e4)  # tight noise (big information)
+        weak = solve(1e0)
+        assert strong > 5 * max(weak, 1e-9), (strong, weak)
+        assert strong > 0.35  # strong edge mostly wins (w 100:1)
+        assert weak < 0.1  # weak edge barely moves (w 1:100)
+
     def test_rejects_degenerate(self):
         """Single-plane geometry: normal matrix rank-1 ⇒ rejected."""
         rng = np.random.default_rng(3)

@@ -30,6 +30,12 @@ class IcpResult(NamedTuple):
     converged: jnp.ndarray  # () bool
     min_eig: jnp.ndarray  # () min eigenvalue of Σ n nᵀ
     match_count: jnp.ndarray
+    # (6,) diagonal of the final Gauss-Newton Hessian Σ J Jᵀ
+    # ([rot, tra] blocks) — the loop edge's information content.  The
+    # reference derives the PGO edge noise from exactly this
+    # (voxelslam.cpp:1761-1765: v6 = 1/|diag(H)|); a constant noise
+    # would weigh a marginal accept the same as a bombproof one.
+    hdiag: jnp.ndarray = None
 
 
 def icp_plane(
@@ -56,7 +62,7 @@ def icp_plane(
     tar_big = jnp.where(tar_mask[:, None], tar_pts, 1e9)
 
     def body(it, carry):
-        R, t, stage, converged, nnt, cnt = carry
+        R, t, stage, converged, nnt, cnt, _ = carry
         paras = jnp.where(stage > 0, fine, coarse)
         pw = src_pts @ R.T + t  # (Q, 3)
         nw = src_nrm @ R.T
@@ -101,13 +107,15 @@ def icp_plane(
         # second convergence marks done
         converged = converged | (small & (stage > 0))
         stage = jnp.where(small, jnp.int32(1), stage)
-        return R_new, t_new, stage, converged, nnt_new, jnp.sum(ok)
+        return (R_new, t_new, stage, converged, nnt_new, jnp.sum(ok),
+                jnp.diagonal(H))
 
     init = (
         R0, t0, jnp.int32(0), jnp.asarray(False),
         jnp.zeros((3, 3), dtype), jnp.zeros((), jnp.int32),
+        jnp.zeros((6,), dtype),
     )
-    R, t, stage, converged, nnt, cnt = jax.lax.fori_loop(
+    R, t, stage, converged, nnt, cnt, hdiag = jax.lax.fori_loop(
         0, max_iter, body, init
     )
     ev = eigh3.eigvals3(nnt)
@@ -123,4 +131,4 @@ def icp_plane(
         accepted = accepted & (
             cnt >= min_match_frac * n_src.astype(dtype)
         )
-    return IcpResult(R, t, accepted, converged, ev[0], cnt)
+    return IcpResult(R, t, accepted, converged, ev[0], cnt, hdiag)

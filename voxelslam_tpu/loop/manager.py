@@ -466,8 +466,10 @@ class LoopManager:
         need = False
         opt_tgt = None
         for ci, tgt in accepted:
+            hd = None if rs.hdiag is None else np.asarray(rs.hdiag[ci])
             pushed, want_opt = self._gate_and_push_edge(
-                kf, np.asarray(rs.R[ci]), np.asarray(rs.t[ci]), tgt
+                kf, np.asarray(rs.R[ci]), np.asarray(rs.t[ci]), tgt,
+                hdiag=hd,
             )
             if pushed and want_opt:
                 need = True
@@ -477,8 +479,23 @@ class LoopManager:
         self._since_opt = 0
         return self._optimize(kf, opt_tgt)
 
+    @staticmethod
+    def _edge_noise(hdiag) -> np.ndarray:
+        """Per-edge noise from the ICP Gauss-Newton Hessian diagonal:
+        v6 = 1/|diag(H)| with floor/ceiling, the reference's
+        hessian-derived noise (voxelslam.cpp:1761-1765, 2058-2069).
+        Falls back to the old constant when no Hessian is available
+        (stubbed programs / legacy callers)."""
+        if hdiag is None:
+            return np.full(6, 1e-4, np.float32)
+        d = np.abs(np.asarray(hdiag, np.float64))
+        return np.clip(1.0 / np.maximum(d, 1e-12), 1e-6, 1.0).astype(
+            np.float32
+        )
+
     def _gate_and_push_edge(
-        self, kf: Keyframe, Rm: np.ndarray, tm: np.ndarray, tgt: Keyframe
+        self, kf: Keyframe, Rm: np.ndarray, tm: np.ndarray, tgt: Keyframe,
+        hdiag: Optional[np.ndarray] = None,
     ) -> tuple:
         """Apply the accept/optimize policies to one verified loop
         (voxelslam.cpp:1997-2069) and push the edge if plausible.
@@ -486,7 +503,7 @@ class LoopManager:
         Loop edge between base scans: T maps query-local -> target-
         local, i.e. x_tgt ∘ T ≈ x_qry  ⇒  between(scan_tgt, scan_qry)
         measurement = T.  Returns (edge_pushed, wants_optimize)."""
-        v6 = np.full(6, 1e-4, np.float32)
+        v6 = self._edge_noise(hdiag)
         # drift = discrepancy between measured and estimated relative
         # pose
         p_pred = tgt.R0 @ tm + tgt.p0
