@@ -169,6 +169,149 @@ def test_loop_recall_multi_revisit():
     )
 
 
+def _loop_mgr():
+    p = btc.BtcParams(line_filter_enable=False, n_proj=4,
+                      max_triangles=2048, voxel_init_num=5)
+    sp = database.SearchParams(skip_near_num=2)
+    return manager.LoopManager(
+        p, sp, win_size=3, kf_downsample=0.15,
+        min_kf_rot_deg=0.0, min_kf_trans=0.05,
+        db_capacity=1 << 15, kf_capacity=128,
+        icp_eigval=3.0,
+    )
+
+
+class _NoGba:
+    """GlobalMapper stub: persistence tests exercise the save/load
+    wiring, not HBA."""
+
+    edges: list = []
+    submaps: list = []
+
+    def bottom_up_incremental(self, kfs):
+        return 0
+
+    def _resolve_pending(self):
+        return 0
+
+    def bottom_up_drain(self, kfs):
+        pass
+
+    def submap_level(self, **kw):
+        return []
+
+
+@pytest.mark.slow
+def test_edge_persistence_roundtrip(tmp_path):
+    """finish() writes edge.txt; a resumed run installs the prior
+    cross-session link WITHOUT re-verification, and a third session
+    relocalizing onto the loaded component finds both prior sessions
+    already co-registered in one frame (pgo_edges_io +
+    previous_map_read, voxelslam.cpp:201-275, 307-448)."""
+    import os
+
+    from voxelslam_tpu.io import serialization
+    from voxelslam_tpu.slam import VoxelSLAM
+    from test_e2e import small_config
+
+    rng = np.random.default_rng(11)
+    cfg = small_config()
+
+    # ---- run 1: two sessions, linked by a verified loop, saved
+    slam1 = VoxelSLAM(cfg)
+    slam1.loop = _loop_mgr()
+    slam1.gmap = _NoGba()
+    line0 = [(0.4 * i, 0.0, 0.0) for i in range(9)]
+    for s in _fake_scan_poses(rng, line0):
+        slam1.loop.push_scan_pose(s)
+    slam1.loop.new_session()
+    bias = np.asarray([0.3, -0.2, 0.05])
+    line1 = [(0.4 * i + bias[0], bias[1], bias[2]) for i in range(9)]
+    for s in _fake_scan_poses(rng, line1):
+        slam1.loop.push_scan_pose(dict(s))
+    slam1.loop.flush_pending()
+    assert any(e.s1 != e.s2 for e in slam1.loop.loop_edges), \
+        "fixture failed to produce a cross-session link"
+    out = str(tmp_path / "maps")
+    slam1.finish(save_dir=out)
+
+    edge_path = os.path.join(out, "edge.txt")
+    assert os.path.exists(edge_path)
+    with open(edge_path) as f:
+        cols = f.readline().split()
+    assert len(cols) >= 17, "edge.txt must carry the v6 noise columns"
+
+    # the saved co-registration of sessions 0/1 (post-PGO poses)
+    rel_saved = (
+        slam1.loop.sessions[0][0]["R"].T
+        @ (slam1.loop.sessions[1][0]["p"] - slam1.loop.sessions[0][0]["p"])
+    )
+
+    # ---- run 2: reload both sessions + edges, no re-verification
+    sess_dirs = sorted(
+        d for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+    )
+    assert len(sess_dirs) == 2
+    previous = [
+        (d, serialization.load_session(os.path.join(out, d)))
+        for d in sess_dirs
+    ]
+    slam2 = VoxelSLAM(cfg)
+    slam2.loop = _loop_mgr()
+    slam2.gmap = _NoGba()
+    slam2._load_previous(previous, edge_path)
+
+    assert slam2.loop.n_loops_found == 0, \
+        "replay must not re-verify prior links"
+    assert (0, 1) in slam2.loop._merged_sessions
+    prior_edges = [e for e in slam2.loop.loop_edges if e.s1 != e.s2]
+    assert len(prior_edges) >= 1
+    assert slam2.loop.components()[0][:2] == [0, 1], \
+        "loaded sessions must enter pre-merged"
+
+    # ---- session 2 (live): same place, estimates offset by a large
+    # session-frame shift (a resumed run starts in its own frame)
+    off = np.asarray([0.0, 0.0, 30.0])
+    n_prior = len(slam2.loop.loop_edges)
+    events = []
+    # the frontend applies each correction event to everything it
+    # emits afterwards (apply_loop_correction); emulate that here by
+    # composing the dx into the fed estimates
+    cur_R, cur_p = np.eye(3), np.zeros(3)
+    for s in _fake_scan_poses(rng, line0):
+        s = dict(s)
+        s["R"] = cur_R @ s["R"]
+        s["p"] = cur_R @ (s["p"] + off) + cur_p
+        ev = slam2.loop.push_scan_pose(s)
+        if ev is not None:
+            events.append(ev)
+            dxR = np.asarray(ev["dx_R"])
+            dxp = np.asarray(ev["dx_p"])
+            cur_R, cur_p = dxR @ cur_R, dxR @ cur_p + dxp
+    ev = slam2.loop.flush_pending()
+    if ev is not None:
+        events.append(ev)
+    assert events, "live session failed to relocalize onto loaded maps"
+    new_cross = [
+        e for e in slam2.loop.loop_edges[n_prior:] if e.s1 != e.s2
+    ]
+    assert new_cross and all(e.s2 == 2 for e in new_cross)
+    comps = slam2.loop.components()
+    assert comps[0] == [0, 1, 2], f"components {comps}"
+
+    # relocalized session 2 lands back on the true line (frame of the
+    # loaded maps), and sessions 0/1 stayed rigidly co-registered
+    p_last = slam2.loop.sessions[2][-1]["p"]
+    true_last = np.asarray(line0[-1])
+    assert np.linalg.norm(p_last - true_last) < 0.5, p_last
+    rel_now = (
+        slam2.loop.sessions[0][0]["R"].T
+        @ (slam2.loop.sessions[1][0]["p"] - slam2.loop.sessions[0][0]["p"])
+    )
+    assert np.linalg.norm(rel_now - rel_saved) < 0.2, (rel_now, rel_saved)
+
+
 def test_previous_session_loading():
     """VoxelSLAM(previous_sessions=...) rebuilds keyframes + BTC
     database from a saved session (previous_map_read counterpart)."""

@@ -63,14 +63,27 @@ def cmd_run(args):
         print(f"config: {cfg_path}", file=sys.stderr)
 
     previous = None
+    previous_edges = None
     if args.previous_map:
         from .io import serialization
 
-        previous = [serialization.load_session(p)
-                    for p in args.previous_map.split(",")]
+        dirs = args.previous_map.split(",")
+        previous = [
+            (os.path.basename(os.path.normpath(p)),
+             serialization.load_session(p))
+            for p in dirs
+        ]
+        # the shared edge.txt lives next to the session dirs
+        edge_path = os.path.join(
+            os.path.dirname(os.path.normpath(dirs[0])), "edge.txt"
+        )
+        if os.path.exists(edge_path):
+            previous_edges = edge_path
+            print(f"prior edges: {edge_path}", file=sys.stderr)
 
     imu, scan_files = _load_dataset(args.dataset)
-    slam = VoxelSLAM(cfg, previous_sessions=previous)
+    slam = VoxelSLAM(cfg, previous_sessions=previous,
+                     previous_edges=previous_edges)
     streamer = None
     streamed = 0
     if getattr(args, "viz_stream", False) and args.out:
@@ -156,7 +169,7 @@ def cmd_run(args):
         for si, sess in enumerate(slam.loop.sessions):
             if sess:
                 serialization.save_session(
-                    os.path.join(args.out, f"{cfg.general.bagname}_s{si}"),
+                    os.path.join(args.out, slam.session_name(si)),
                     sess,
                 )
 

@@ -184,30 +184,66 @@ def decode_raw_native(
 class ScanSync:
     """Pair each decoded scan with its IMU span (sync_packages,
     voxelslam.hpp:105-161): a scan is released once IMU data covers
-    its end time; requires > 4 IMU samples in the span."""
+    its end time; requires > 4 IMU samples in the span.
 
-    def __init__(self, min_imu: int = 5):
+    Arrival order is NOT assumed: live transports (UDP, multi-queue
+    ROS executors) interleave IMU and scan messages out of order
+    within the sync window — both buffers re-sort lazily when a
+    regression is observed, so the released (scan, imu span) tuples
+    are identical to the in-order replay."""
+
+    def __init__(self, min_imu: int = 5, holdback: float = 0.0):
         self.scans: List[DecodedScan] = []
         self.imu_t: List[float] = []
         self.imu_gyr: List[np.ndarray] = []
         self.imu_acc: List[np.ndarray] = []
         self.min_imu = min_imu
+        # release margin for out-of-order transports: a scan is held
+        # until IMU time reaches t_end + holdback, so a late-arriving
+        # sample INSIDE the span (a gap at release time) cannot be
+        # missed.  Set to the transport's disorder window; 0 for
+        # in-order feeds (the reference's ROS queues are in-order per
+        # topic, voxelslam.hpp:105-161).
+        self.holdback = holdback
         self._t_prev_end: Optional[float] = None
+        self._imu_sorted = True
+        self._scans_sorted = True
 
     def push_imu(self, t: float, gyr, acc):
-        self.imu_t.append(float(t))
+        t = float(t)
+        if self.imu_t and t < self.imu_t[-1]:
+            self._imu_sorted = False
+        self.imu_t.append(t)
         self.imu_gyr.append(np.asarray(gyr, np.float64))
         self.imu_acc.append(np.asarray(acc, np.float64))
 
     def push_scan(self, scan: DecodedScan):
+        if self.scans and scan.t_begin < self.scans[-1].t_begin:
+            self._scans_sorted = False
         self.scans.append(scan)
 
-    def pop(self) -> Optional[tuple]:
-        """Next synchronized (scan, imu_t, imu_gyr, imu_acc) or None."""
+    def _ensure_sorted(self):
+        if not self._imu_sorted:
+            order = np.argsort(np.asarray(self.imu_t), kind="stable")
+            self.imu_t = [self.imu_t[i] for i in order]
+            self.imu_gyr = [self.imu_gyr[i] for i in order]
+            self.imu_acc = [self.imu_acc[i] for i in order]
+            self._imu_sorted = True
+        if not self._scans_sorted:
+            self.scans.sort(key=lambda s: s.t_begin)
+            self._scans_sorted = True
+
+    def pop(self, final: bool = False) -> Optional[tuple]:
+        """Next synchronized (scan, imu_t, imu_gyr, imu_acc) or None.
+
+        `final=True` ignores the holdback margin (end of stream: no
+        further messages can fill a gap)."""
         if not self.scans or not self.imu_t:
             return None
+        self._ensure_sorted()
         sc = self.scans[0]
-        if self.imu_t[-1] < sc.t_end:
+        slack = 0.0 if final else self.holdback
+        if self.imu_t[-1] < sc.t_end + slack:
             return None
         t_lo = (self._t_prev_end if self._t_prev_end is not None
                 else sc.t_begin) - 0.5

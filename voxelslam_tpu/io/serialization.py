@@ -111,18 +111,27 @@ def load_lidar_state(path: str) -> List[dict]:
 
 def save_edges(path: str, edges: List[dict], keep_absent: List[str] = ()):
     """Write inter-session loop edges.  Each edge dict:
-    {name1, name2, id1, id2, R (3,3), t (3,)}."""
+    {name1, name2, id1, id2, R (3,3), t (3,), [v6 (6,)]}.
+
+    The first 11 columns match the reference's edge.txt exactly
+    (pgo_edges_io, voxelslam.cpp:255-275); when the edge carries a
+    hessian-derived noise v6 it is appended as 6 extra columns — the
+    reference's stringstream reader ignores trailing columns, so the
+    file stays interchange-compatible both ways."""
     with open(path, "w") as f:
         for line in keep_absent:
             f.write(line.rstrip("\n") + "\n")
         for e in edges:
             q = _quat_from_R(np.asarray(e["R"]))
             t = np.asarray(e["t"])
-            f.write(
+            row = (
                 f"{e['name1']} {e['name2']} {e['id1']} {e['id2']} "
                 f"{t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
-                f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}"
             )
+            if e.get("v6") is not None:
+                row += "".join(f" {v:.7g}" for v in np.asarray(e["v6"]))
+            f.write(row + "\n")
 
 
 def load_edges(path: str, known_names: List[str], bagname: str = ""):
@@ -147,12 +156,19 @@ def load_edges(path: str, known_names: List[str], bagname: str = ""):
             t = np.asarray([float(x) for x in sts[4:7]])
             q = np.asarray([float(x) for x in sts[7:11]])
             R = _R_from_quat(q)
+            v6 = (
+                np.asarray([float(x) for x in sts[11:17]])
+                if len(sts) >= 17 else None
+            )
             if m[0] <= m[1]:
-                edges.append(dict(m1=m[0], m2=m[1], id1=id1, id2=id2, R=R, t=t))
+                edges.append(dict(m1=m[0], m2=m[1], id1=id1, id2=id2,
+                                  R=R, t=t, v6=v6))
             else:
+                # inverted measurement; the diagonal noise approximates
+                # its own rotation, keep it as-is
                 edges.append(
                     dict(m1=m[1], m2=m[0], id1=id2, id2=id1,
-                         R=R.T, t=-R.T @ t)
+                         R=R.T, t=-R.T @ t, v6=v6)
                 )
     return edges, absent
 

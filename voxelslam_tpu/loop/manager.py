@@ -107,6 +107,80 @@ class Keyframe:
     loadable: bool = False  # mid-term reload candidate (kf.exist)
 
 
+class _SessChain:
+    """Per-session numpy mirror of the scan-pose chain, grown on
+    arrival (amortized O(1) append).  PGO graph assembly reads ONLY
+    these arrays — a solve is a concat + pad instead of a Python walk
+    over every scan dict (the reference keeps its chain incremental
+    inside ISAM2 for the same reason, voxelslam.cpp:2090-2098).  The
+    scan-pose dicts remain the source of truth for every other
+    consumer; all three pose-mutation paths (append, rigid connect,
+    PGO writeback) update both."""
+
+    __slots__ = ("cap", "n", "R", "p", "v", "g", "Rm", "tm", "w")
+
+    def __init__(self, cap: int = 256):
+        self.cap = cap
+        self.n = 0
+        self.R = np.zeros((cap, 3, 3))
+        self.p = np.zeros((cap, 3))
+        self.v = np.zeros((cap, 3))
+        self.g = np.zeros((cap, 3))
+        # row i: the sequential between-measurement INTO scan i
+        # (row 0 unused) and its information weight
+        self.Rm = np.zeros((cap, 3, 3))
+        self.tm = np.zeros((cap, 3))
+        self.w = np.zeros((cap, 6))
+
+    def _grow(self):
+        new_cap = self.cap * 2
+        for name in self.__slots__[2:]:
+            a = getattr(self, name)
+            b = np.zeros((new_cap,) + a.shape[1:], a.dtype)
+            b[: self.n] = a[: self.n]
+            setattr(self, name, b)
+        self.cap = new_cap
+
+    def append(self, sp: dict):
+        if self.n == self.cap:
+            self._grow()
+        i = self.n
+        self.R[i] = sp["R"]
+        self.p[i] = sp["p"]
+        self.v[i] = sp.get("v", 0.0)
+        self.g[i] = sp.get("g", 0.0)
+        if "odom_Rm" in sp:
+            self.Rm[i] = sp["odom_Rm"]
+            self.tm[i] = sp["odom_tm"]
+            self.w[i] = 1.0 / np.maximum(sp["v6"], 1e-8)
+        self.n = i + 1
+
+    def rigid(self, G_R: np.ndarray, G_p: np.ndarray):
+        """Apply a rigid frame move to every pose (component connect)."""
+        n = self.n
+        if n == 0:
+            return
+        self.R[:n] = np.einsum("ij,njk->nik", G_R, self.R[:n])
+        self.p[:n] = self.p[:n] @ G_R.T + G_p
+        self.v[:n] = self.v[:n] @ G_R.T
+        self.g[:n] = self.g[:n] @ G_R.T
+
+    def set_poses(self, R_new: np.ndarray, p_new: np.ndarray):
+        """PGO writeback: install solved poses, rotating v/g by the
+        per-scan orientation delta (set_state semantics,
+        loop_refine.hpp:36-43).  Returns the rotated (v, g) so the
+        caller can sync the scan-pose dicts without re-deriving."""
+        n = self.n
+        rot = np.einsum("nij,nkj->nik", R_new, self.R[:n])
+        v_new = np.einsum("nij,nj->ni", rot, self.v[:n])
+        g_new = np.einsum("nij,nj->ni", rot, self.g[:n])
+        self.R[:n] = R_new
+        self.p[:n] = p_new
+        self.v[:n] = v_new
+        self.g[:n] = g_new
+        return v_new, g_new
+
+
 @dataclass
 class LoopEdge:
     s1: int  # session of target (earlier) keyframe
@@ -163,6 +237,8 @@ class LoopManager:
         )
         # per-session scan poses: list of dicts (R, p, v, v6, t)
         self.sessions: List[List[dict]] = [[]]
+        # numpy mirrors for O(1)-per-scan PGO graph assembly
+        self._chains: List[_SessChain] = [_SessChain()]
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[LoopEdge] = []
         self._pending: List[dict] = []  # scans waiting to form a keyframe
@@ -201,6 +277,11 @@ class LoopManager:
         self._rejected_relink: dict = {}
         self.g_update_pending = False  # cross-session merge -> gravity
         #                                refresh in the window BA
+        # replay of SAVED sessions (previous_map_read): keyframes +
+        # descriptors are rebuilt but no loop detection runs — the
+        # inter-session links come from edge.txt via
+        # install_prior_edges, never from re-verification
+        self.replay_mode = False
 
     # ---------------------------------------------------------- sessions
 
@@ -236,6 +317,40 @@ class LoopManager:
         out["dx_R"], out["dx_p"] = R, p
         return out
 
+    def install_prior_edges(self, edges: List[dict]) -> int:
+        """Install inter-session loop edges loaded from a saved
+        edge.txt (previous_map_read's edge path, voxelslam.cpp:307-448):
+        the linked sessions enter the graph ALREADY merged — components
+        share one anchor and re-verification is never needed.  Each
+        dict: {m1, m2, id1, id2, R, t, [v6]} with m* = loop-manager
+        session indices and id* = scan indices within the session."""
+        n_installed = 0
+        for e in edges:
+            s1, s2 = int(e["m1"]), int(e["m2"])
+            if s1 >= len(self.sessions) or s2 >= len(self.sessions):
+                continue
+            n1, n2 = len(self.sessions[s1]), len(self.sessions[s2])
+            if n1 == 0 or n2 == 0:
+                continue
+            v6 = e.get("v6")
+            v6 = (
+                np.full(6, 1e-4, np.float32) if v6 is None
+                else np.asarray(v6, np.float32)
+            )
+            self.loop_edges.append(LoopEdge(
+                s1=s1, s2=s2,
+                scan1=min(int(e["id1"]), n1 - 1),
+                scan2=min(int(e["id2"]), n2 - 1),
+                R=np.asarray(e["R"], np.float64),
+                t=np.asarray(e["t"], np.float64),
+                v6=v6,
+            ))
+            pair = (min(s1, s2), max(s1, s2))
+            self._merged_sessions.add(pair)
+            self._link_jour[pair] = self.sessions[s2][-1]["jour"]
+            n_installed += 1
+        return n_installed
+
     def new_session(self):
         """reset_flag handling (voxelslam.cpp:1856-1887)."""
         # resolve the old session's in-flight keyframes first: their
@@ -246,6 +361,7 @@ class LoopManager:
         while self._kf_queue:
             self._resolve_keyframe()
         self.sessions.append([])
+        self._chains.append(_SessChain())
         self._pending = []
         self._last_kf_pose = None
 
@@ -289,6 +405,7 @@ class LoopManager:
         else:
             sp["jour"] = 0.0
         sess.append(sp)
+        self._chains[-1].append(sp)
 
         # keyframe gating: skip near-static scans (voxelslam.cpp:1932-1939)
         if self._last_kf_pose is not None:
@@ -427,6 +544,8 @@ class LoopManager:
         ds_pts, ds_mask, cands, rs = jax.device_get(outs)
         kf.cloud = np.asarray(ds_pts)
         kf.cloud_mask = np.asarray(ds_mask)
+        if self.replay_mode:
+            return None  # descriptor/keyframe rebuild only
 
         # Accept candidates in descending score order, AT MOST ONE PER
         # TARGET SESSION — the reference runs SearchLoop per session and
@@ -677,42 +796,80 @@ class LoopManager:
             groups.setdefault(find(si), []).append(si)
         return sorted(groups.values())
 
-    def _graph_arrays(self):
+    def _graph_arrays(self, extra_edges=()):
         """Assemble all sessions' chains + loop edges into one padded
-        PoseGraph (build_graph, voxelslam.cpp:1741-1802)."""
+        PoseGraph (build_graph, voxelslam.cpp:1741-1802).
+
+        Vectorized over the per-session numpy mirrors (_SessChain):
+        poses and sequential measurements are slices, never a Python
+        walk over scan dicts — at 10k scans assembly is ~1 ms instead
+        of seconds, keeping per-loop-event PGO viable on long runs the
+        way ISAM2's incrementality does for the reference.
+
+        `extra_edges`: HBA hessian edges ({scan1: (sess, idx),
+        scan2: (sess, idx), R, t, v6} dicts) appended at finish — the
+        final top-down solve passes them here instead of unpacking and
+        re-padding the device graph."""
         offsets = []
         n = 0
-        for sess in self.sessions:
+        for c in self._chains:
             offsets.append(n)
-            n += len(sess)
-        Rs = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
-        ps = np.zeros((n, 3), np.float32)
-        for off, sess in zip(offsets, self.sessions):
-            for i, s in enumerate(sess):
-                Rs[off + i] = s["R"]
-                ps[off + i] = s["p"]
-        ei, ej, Rm, tm, w = [], [], [], [], []
-        for off, sess in zip(offsets, self.sessions):
-            for i in range(len(sess) - 1):
-                a, b = sess[i], sess[i + 1]
-                ei.append(off + i)
-                ej.append(off + i + 1)
-                # stored odometry measurement (captured at arrival in
-                # push_scan_pose); the fallback covers poses injected
-                # outside that path (defensive only)
-                if "odom_Rm" in b:
-                    Rm.append(b["odom_Rm"])
-                    tm.append(b["odom_tm"])
-                else:
-                    Rm.append(a["R"].T @ b["R"])
-                    tm.append(a["R"].T @ (b["p"] - a["p"]))
-                w.append(1.0 / np.maximum(b["v6"], 1e-8))
-        for e in self.loop_edges:
-            ei.append(offsets[e.s1] + e.scan1)
-            ej.append(offsets[e.s2] + e.scan2)
-            Rm.append(e.R)
-            tm.append(e.t)
-            w.append(1.0 / np.maximum(e.v6, 1e-8))
+            n += c.n
+        if n:
+            Rs = np.concatenate(
+                [c.R[: c.n] for c in self._chains if c.n]
+            ).astype(np.float32)
+            ps = np.concatenate(
+                [c.p[: c.n] for c in self._chains if c.n]
+            ).astype(np.float32)
+        else:
+            Rs = np.zeros((0, 3, 3), np.float32)
+            ps = np.zeros((0, 3), np.float32)
+        ei_l, ej_l, Rm_l, tm_l, w_l = [], [], [], [], []
+        for off, c in zip(offsets, self._chains):
+            if c.n >= 2:
+                idx = np.arange(c.n - 1, dtype=np.int32)
+                ei_l.append(off + idx)
+                ej_l.append(off + idx + 1)
+                Rm_l.append(c.Rm[1 : c.n])
+                tm_l.append(c.tm[1 : c.n])
+                w_l.append(c.w[1 : c.n])
+        if self.loop_edges:
+            ei_l.append(np.asarray(
+                [offsets[e.s1] + e.scan1 for e in self.loop_edges],
+                np.int32,
+            ))
+            ej_l.append(np.asarray(
+                [offsets[e.s2] + e.scan2 for e in self.loop_edges],
+                np.int32,
+            ))
+            Rm_l.append(np.stack([e.R for e in self.loop_edges]))
+            tm_l.append(np.stack([e.t for e in self.loop_edges]))
+            w_l.append(1.0 / np.maximum(
+                np.stack([e.v6 for e in self.loop_edges]), 1e-8
+            ))
+        for e in extra_edges:
+            s1, i1 = e["scan1"]
+            s2, i2 = e["scan2"]
+            ei_l.append(np.asarray([offsets[s1] + i1], np.int32))
+            ej_l.append(np.asarray([offsets[s2] + i2], np.int32))
+            Rm_l.append(np.asarray(e["R"])[None])
+            tm_l.append(np.asarray(e["t"])[None])
+            w_l.append(1.0 / np.maximum(
+                np.asarray(e["v6"], np.float64)[None], 1e-8
+            ))
+        if ei_l:
+            ei = np.concatenate(ei_l)
+            ej = np.concatenate(ej_l)
+            Rm = np.concatenate(Rm_l)
+            tm = np.concatenate(tm_l)
+            w = np.concatenate(w_l)
+        else:
+            ei = np.zeros(0, np.int32)
+            ej = np.zeros(0, np.int32)
+            Rm = np.zeros((0, 3, 3))
+            tm = np.zeros((0, 3))
+            w = np.zeros((0, 6))
         E_real = len(ei)
         # One anchor per connected component of sessions (PGO_Edges
         # connect/tras, loop_refine.hpp:163-267): a disconnected
@@ -729,6 +886,10 @@ class LoopManager:
 
         for e in self.loop_edges:
             ra, rb = find(e.s1), find(e.s2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for e in extra_edges:
+            ra, rb = find(e["scan1"][0]), find(e["scan2"][0])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         anchor = np.zeros(n, bool)
@@ -751,11 +912,11 @@ class LoopManager:
         tm_p = np.zeros((E, 3), np.float32)
         w_p = np.zeros((E, 6), np.float32)
         if E_real:
-            ei_p[:E_real] = np.asarray(ei, np.int32)
-            ej_p[:E_real] = np.asarray(ej, np.int32)
-            Rm_p[:E_real] = np.stack(Rm).astype(np.float32)
-            tm_p[:E_real] = np.stack(tm).astype(np.float32)
-            w_p[:E_real] = np.stack(w).astype(np.float32)
+            ei_p[:E_real] = ei
+            ej_p[:E_real] = ej
+            Rm_p[:E_real] = Rm
+            tm_p[:E_real] = tm
+            w_p[:E_real] = w
         pose_valid = np.zeros(N, bool)
         pose_valid[:n] = True
         edge_valid = np.zeros(E, bool)
@@ -816,16 +977,38 @@ class LoopManager:
                                - G_R @ tgt.p0)
             if mv:
                 for si in mv:
-                    for s in self.sessions[si]:
-                        s["R"] = G_R @ s["R"]
-                        s["p"] = G_R @ s["p"] + G_p
-                        s["v"] = G_R @ s["v"]
-                        s["g"] = G_R @ s["g"]
+                    ch = self._chains[si]
+                    ch.rigid(G_R, G_p)
+                    for i, s in enumerate(self.sessions[si]):
+                        s["R"] = ch.R[i].copy()
+                        s["p"] = ch.p[i].copy()
+                        s["v"] = ch.v[i].copy()
+                        s["g"] = ch.g[i].copy()
                 for k in self.keyframes:
                     if k.session in mv:
                         k.R0 = G_R @ k.R0
                         k.p0 = G_R @ k.p0 + G_p
             self.loop_edges.append(edge)
+
+    def write_back(self, R: np.ndarray, p: np.ndarray, offsets) -> None:
+        """Install solved PGO poses into the chains, scan-pose dicts,
+        and keyframes (set_state incl. velocity/gravity rotation,
+        loop_refine.hpp:36-43) — vectorized per session; the dict sync
+        assigns precomputed rows only."""
+        for o, ch, s_list in zip(offsets, self._chains, self.sessions):
+            nn = ch.n
+            if nn == 0:
+                continue
+            v_new, g_new = ch.set_poses(R[o : o + nn], p[o : o + nn])
+            for i, s in enumerate(s_list):
+                s["R"] = R[o + i]
+                s["p"] = p[o + i]
+                s["v"] = v_new[i]
+                s["g"] = g_new[i]
+        for k in self.keyframes:
+            o = offsets[k.session]
+            k.R0 = R[o + k.first_scan]
+            k.p0 = p[o + k.first_scan]
 
     def _optimize(self, kf: Keyframe, tgt: Keyframe) -> dict:
         """Solve the pose graph and write back (voxelslam.cpp:2088-2175)."""
@@ -854,17 +1037,7 @@ class LoopManager:
 
         # write back all poses (set_state semantics incl. velocity
         # rotation, loop_refine.hpp:36-43)
-        for o, s_list in zip(offsets, self.sessions):
-            for i, s in enumerate(s_list):
-                rot = R[o + i] @ s["R"].T
-                s["v"] = rot @ s["v"]
-                s["g"] = rot @ s["g"]
-                s["R"] = R[o + i]
-                s["p"] = p[o + i]
-        for k in self.keyframes:
-            o = offsets[k.session]
-            k.R0 = R[o + k.first_scan]
-            k.p0 = p[o + k.first_scan]
+        self.write_back(R, p, offsets)
 
         # recent keyframes for the front-end map rebuild (last 5,
         # voxelslam.cpp:2131-2150); older ones become mid-term reload

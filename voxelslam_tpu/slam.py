@@ -662,7 +662,8 @@ class VoxelSLAM:
     """
 
     def __init__(self, cfg: Config, dtype=jnp.float32,
-                 previous_sessions: Optional[list] = None):
+                 previous_sessions: Optional[list] = None,
+                 previous_edges=None):
         from .glb import hba
         from .loop import btc as _btc, database as _db, manager as _mgr
 
@@ -703,19 +704,62 @@ class VoxelSLAM:
         self._last_session = 0
         self._loop_warmed = False
         self.loop_events: List[dict] = []
+        self._session_names: List[str] = []  # names of LOADED sessions
+        self._edge_absent: List[str] = []  # edge.txt lines to preserve
         if previous_sessions:
-            self._load_previous(previous_sessions)
+            self._load_previous(previous_sessions, previous_edges)
 
-    def _load_previous(self, sessions: list):
+    def session_name(self, si: int) -> str:
+        """Stable session name: loaded sessions keep their saved names,
+        live sessions get `{bagname}_s{index}` (the reference keys
+        edge.txt and session dirs by bag name, voxelslam.cpp:201-275)."""
+        if si < len(self._session_names):
+            return self._session_names[si]
+        return f"{self.cfg.general.bagname}_s{si}"
+
+    def _load_previous(self, sessions: list, edges=None):
         """Multi-session relocalization: rebuild keyframes + BTC
         database from saved sessions (previous_map_read,
-        voxelslam.cpp:307-448)."""
-        for sps in sessions:
-            for sp in sps:
-                if "pts" not in sp:
-                    continue
-                self.loop.push_scan_pose(sp)
-            self.loop.new_session()
+        voxelslam.cpp:307-448).
+
+        `sessions`: list of scan-pose lists, or (name, scan_poses)
+        tuples — names key the shared edge.txt.  `edges`: a path to
+        edge.txt or a pre-loaded edge list (serialization.load_edges);
+        installed edges pre-merge the loaded sessions so a resumed run
+        starts with the prior cross-session links instead of
+        re-discovering them."""
+        names = []
+        self.loop.replay_mode = True
+        try:
+            for ent in sessions:
+                if isinstance(ent, tuple):
+                    name, sps = ent
+                else:
+                    name, sps = f"prev_{len(names)}", ent
+                names.append(name)
+                for sp in sps:
+                    if "pts" not in sp:
+                        continue
+                    self.loop.push_scan_pose(sp)
+                # resolve in-flight keyframe programs so the replay's
+                # descriptors land before the next session queries them
+                self.loop.flush_pending()
+                self.loop.new_session()
+        finally:
+            self.loop.replay_mode = False
+        self._session_names = names
+        if edges is not None:
+            if isinstance(edges, str):
+                from .io import serialization
+
+                loaded, self._edge_absent = serialization.load_edges(
+                    edges, names, bagname=self.cfg.general.bagname
+                )
+            else:
+                loaded = edges
+            n = self.loop.install_prior_edges(loaded)
+            if n:
+                print(f"[voxelslam-tpu] installed {n} prior loop edges")
         # previous sessions never trigger corrections on themselves
         self.loop_events.clear()
         # align bookkeeping: frontend session 0 maps to the new
@@ -808,6 +852,79 @@ class VoxelSLAM:
         self._drain(final=True)
         return recs
 
+    def run_live(self, feed, lidar_type=None, decode_kw=None,
+                 min_imu: int = 5, holdback: float = 0.0):
+        """Streaming input loop — the live-ROS callback shape without
+        ROS (sync_packages + the odometry thread's consume loop,
+        voxelslam.hpp:105-161, voxelslam.cpp:52-161).
+
+        `feed` is any iterable of (kind, payload) messages in ARRIVAL
+        order (out-of-order within the sync window is fine):
+          ("imu",  (t, gyr3, acc3))         raw IMU sample
+          ("scan", DecodedScan)             pre-decoded scan
+          ("scan_raw", (data, t_begin))     structured array; decoded
+                                            via io.drivers.decode with
+                                            `lidar_type` + `decode_kw`
+        A live driver calls this with a generator bridging its socket;
+        scans are released to the pipeline as soon as their IMU span
+        is covered (plus `holdback` seconds for out-of-order
+        transports).  Returns the ScanRecords produced; the stream can
+        be resumed by calling run_live again with more messages, and
+        must be closed with drain_live() at end of stream."""
+        from .io import drivers
+
+        sync = getattr(self, "_live_sync", None)
+        if sync is None:
+            sync = self._live_sync = drivers.ScanSync(
+                min_imu=min_imu, holdback=holdback
+            )
+        recs = []
+        for kind, payload in feed:
+            if kind == "imu":
+                t, gyr, acc = payload
+                sync.push_imu(t, gyr, acc)
+            elif kind == "scan":
+                sync.push_scan(payload)
+            elif kind == "scan_raw":
+                data, t_begin = payload
+                sync.push_scan(drivers.decode(
+                    lidar_type, data, t_begin, **(decode_kw or {})
+                ))
+            else:
+                raise ValueError(f"unknown live message kind {kind!r}")
+            while True:
+                out = sync.pop()
+                if out is None:
+                    break
+                sc, imu_t, imu_gyr, imu_acc = out
+                r = self.process_scan(
+                    sc.pts, sc.offsets, sc.t_begin, sc.t_end,
+                    imu_t, imu_gyr, imu_acc,
+                )
+                if r is not None:
+                    recs.append(r)
+        return recs
+
+    def drain_live(self):
+        """End of live stream: release scans still held by the
+        holdback margin, then flush the pipeline and the loop layer."""
+        recs = []
+        sync = getattr(self, "_live_sync", None)
+        while sync is not None:
+            out = sync.pop(final=True)
+            if out is None:
+                break
+            sc, imu_t, imu_gyr, imu_acc = out
+            r = self.process_scan(
+                sc.pts, sc.offsets, sc.t_begin, sc.t_end,
+                imu_t, imu_gyr, imu_acc,
+            )
+            if r is not None:
+                recs.append(r)
+        self.frontend.flush()
+        self._drain(final=True)
+        return recs
+
     def finish(self, save_dir: Optional[str] = None):
         self.frontend.flush()
         self._drain(final=True)
@@ -833,45 +950,10 @@ class VoxelSLAM:
             )
             self.gmap.edges.extend(edges2)
             if self.gmap.edges:
-                # top-down: sequential + loop + hessian edges
-                g, offsets = self.loop._graph_arrays()
-                import numpy as _np
-
-                # strip the bucket padding, append hessian edges, re-pad
-                gnp = jax.device_get(g)
-                ev = gnp.edge_valid
-                ei = [int(v) for v in gnp.ei[ev]]
-                ej = [int(v) for v in gnp.ej[ev]]
-                Rm = list(gnp.Rm[ev])
-                tm = list(gnp.tm[ev])
-                w = list(gnp.w[ev])
-                for e in self.gmap.edges:
-                    s1, i1 = e["scan1"]
-                    s2, i2 = e["scan2"]
-                    ei.append(offsets[s1] + i1)
-                    ej.append(offsets[s2] + i2)
-                    Rm.append(e["R"])
-                    tm.append(e["t"])
-                    w.append(1.0 / _np.maximum(e["v6"], 1e-8))
-                E_real = len(ei)
-                E = max(512, 1 << int(_np.ceil(_np.log2(E_real))))
-                ei_p = _np.zeros(E, _np.int32)
-                ej_p = _np.zeros(E, _np.int32)
-                Rm_p = _np.tile(_np.eye(3, dtype=_np.float32), (E, 1, 1))
-                tm_p = _np.zeros((E, 3), _np.float32)
-                w_p = _np.zeros((E, 6), _np.float32)
-                ei_p[:E_real] = ei
-                ej_p[:E_real] = ej
-                Rm_p[:E_real] = _np.stack(Rm).astype(_np.float32)
-                tm_p[:E_real] = _np.stack(tm).astype(_np.float32)
-                w_p[:E_real] = _np.stack(w).astype(_np.float32)
-                eval_p = _np.zeros(E, bool)
-                eval_p[:E_real] = True
-                g = g._replace(
-                    ei=jnp.asarray(ei_p), ej=jnp.asarray(ej_p),
-                    Rm=jnp.asarray(Rm_p), tm=jnp.asarray(tm_p),
-                    w=jnp.asarray(w_p),
-                    edge_valid=jnp.asarray(eval_p),
+                # top-down: sequential + loop + hessian edges, all
+                # assembled in one vectorized pass
+                g, offsets = self.loop._graph_arrays(
+                    extra_edges=self.gmap.edges
                 )
                 # one-time final solve: give PCG enough iterations for
                 # corrections to propagate the full chain length (a
@@ -880,29 +962,44 @@ class VoxelSLAM:
                 R, p, chi2 = posegraph.optimize(
                     g, n_iters=16, cg_iters=256
                 )
-                R = _np.asarray(R)
-                p = _np.asarray(p)
-                for o, sess in zip(offsets, self.loop.sessions):
-                    for i, s in enumerate(sess):
-                        rot = R[o + i] @ s["R"].T
-                        s["v"] = rot @ s["v"]
-                        s["g"] = rot @ s["g"]
-                        s["R"] = R[o + i]
-                        s["p"] = p[o + i]
-                for k in kfs:
-                    o = offsets[k.session]
-                    k.R0 = R[o + k.first_scan]
-                    k.p0 = p[o + k.first_scan]
+                self.loop.write_back(
+                    np.asarray(R), np.asarray(p), offsets
+                )
 
         if save_dir is not None:
+            import os as _os
+
             from .io import serialization
 
-            for si, sess in enumerate(self.loop.sessions):
+            _os.makedirs(save_dir, exist_ok=True)
+            names = [
+                self.session_name(si)
+                for si in range(len(self.loop.sessions))
+            ]
+            for name, sess in zip(names, self.loop.sessions):
                 if sess:
-                    name = f"{self.cfg.general.bagname}_s{si}"
                     serialization.save_session(
                         f"{save_dir}/{name}", sess
                     )
+            # shared inter-session loop edges (pgo_edges_io,
+            # voxelslam.cpp:201-275): read-modify-write so links
+            # between sessions NOT part of this run are preserved
+            edge_path = _os.path.join(save_dir, "edge.txt")
+            _, absent = serialization.load_edges(
+                edge_path, names, bagname=self.cfg.general.bagname
+            )
+            absent = list(self._edge_absent) + [
+                ln for ln in absent if ln not in self._edge_absent
+            ]
+            cross = [
+                dict(
+                    name1=names[e.s1], name2=names[e.s2],
+                    id1=e.scan1, id2=e.scan2, R=e.R, t=e.t, v6=e.v6,
+                )
+                for e in self.loop.loop_edges if e.s1 != e.s2
+            ]
+            if cross or absent:
+                serialization.save_edges(edge_path, cross, absent)
 
     def trajectory(self):
         """Final trajectory from the loop-layer scan poses (PGO-
