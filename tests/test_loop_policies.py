@@ -317,6 +317,87 @@ class TestComponents:
         assert [0, 2] in comps and [1, 3] in comps and [4] in comps
 
 
+class TestWitnessTimeout:
+    """Witness-mode fallback: a held first link that is never
+    contradicted commits with inflated noise after
+    `witness_timeout_kfs` keyframes — a world with exactly one genuine
+    cross view (corridor between rooms) must not strand true merges;
+    an aliased world with disagreeing candidates must never commit."""
+
+    def _two_sessions(self, timeout=3):
+        mgr = _mgr(relocal_witnesses=2, witness_timeout_kfs=timeout)
+        for i in range(8):
+            mgr.push_scan_pose(_pose_dict(np.eye(3), [0.5 * i, 0, 0]))
+        mgr.new_session()
+        for i in range(8):
+            mgr.push_scan_pose(
+                _pose_dict(np.eye(3), [0.5 * i, 0, 30.0])
+            )
+        cloud = np.zeros((16, 3), np.float32)
+        cm = np.ones(16, bool)
+        tgt = manager.Keyframe(
+            0, 0, 2, np.eye(3), np.array([1.0, 0, 0]), cloud, cm
+        )
+        kf = manager.Keyframe(
+            1, 1, 2, np.eye(3), np.array([1.0, 0, 30.0]), cloud, cm
+        )
+        mgr.keyframes = [tgt, kf]
+        return mgr, kf, tgt
+
+    def test_single_witness_commits_after_timeout(self):
+        mgr, kf, tgt = self._two_sessions(timeout=3)
+        pushed, _ = mgr._gate_and_push_edge(
+            kf, np.eye(3), np.zeros(3), tgt
+        )
+        assert not pushed and (0, 1) in mgr._candidate_links
+        # the holding keyframe's own resolve ages the hold once, then
+        # two more quiet keyframes pass...
+        for _ in range(3):
+            need, t = mgr._age_candidate_links()
+            assert not need
+        # ...the timeout'th quiet keyframe commits
+        need, t = mgr._age_candidate_links()
+        assert need and t is tgt
+        assert (0, 1) in mgr._merged_sessions
+        assert (0, 1) not in mgr._candidate_links
+        mgr._apply_pending_links()
+        cross = [e for e in mgr.loop_edges if e.s1 != e.s2]
+        assert len(cross) == 1
+        # committed with x100-inflated noise (base 1e-4 -> 1e-2)
+        assert cross[0].v6.max() >= 9e-3
+        # the rigid connect snapped session 1 onto session 0's frame
+        d = np.linalg.norm(
+            mgr.sessions[1][2]["p"] - mgr.sessions[0][2]["p"]
+        )
+        assert d < 1e-6, d
+
+    def test_disagreeing_candidates_never_commit(self):
+        mgr, kf, tgt = self._two_sessions(timeout=3)
+        for k in range(8):
+            # aliased world: candidates keep arriving with inconsistent
+            # transforms — each replaces the hold and restarts the clock
+            Rm = _rotz(0.5 if k % 2 else -0.5)
+            pushed, _ = mgr._gate_and_push_edge(
+                kf, Rm, np.zeros(3), tgt
+            )
+            assert not pushed
+            need, _ = mgr._age_candidate_links()
+            assert not need
+        assert (0, 1) not in mgr._merged_sessions
+        assert not mgr.loop_edges
+
+    def test_timeout_disabled_holds_forever(self):
+        mgr, kf, tgt = self._two_sessions(timeout=0)
+        pushed, _ = mgr._gate_and_push_edge(
+            kf, np.eye(3), np.zeros(3), tgt
+        )
+        assert not pushed
+        for _ in range(50):
+            need, _ = mgr._age_candidate_links()
+            assert not need
+        assert (0, 1) not in mgr._merged_sessions
+
+
 class TestPoisonedLinkRecovery:
     def test_two_witnesses_outvote_bad_first_link(self):
         """A first cross-session link with a bad ICP yaw poisons the

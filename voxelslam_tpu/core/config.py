@@ -86,6 +86,12 @@ class LoopCfg:
     # commit a merge (1 = reference single-link behavior; 2 = robust
     # to perceptual aliasing between similar-looking places)
     relocal_witnesses: int = 2
+    # witness-mode fallback: a held first link that is never
+    # contradicted commits with inflated noise after this many
+    # subsequent keyframes (0 = hold forever).  Without it, a world
+    # with exactly one genuine cross view (e.g. a featureless
+    # corridor between rooms) strands true merges.
+    witness_timeout_kfs: int = 8
     ratio_drift: float = 0.05
     curr_halt: int = 10
     prev_halt: int = 10

@@ -212,12 +212,17 @@ class LoopManager:
         n_icp: Optional[int] = None,
         relocal_witnesses: int = 1,
         kf_inflight: int = 1,
+        witness_timeout_kfs: int = 8,
     ):
         self.ratio_drift = ratio_drift
         # cross-session merge policy: 1 = commit on the first
         # verified link (reference behavior); >=2 = require that many
         # pairwise-consistent links (robust to perceptual aliasing)
         self.relocal_witnesses = relocal_witnesses
+        # fallback for stranded true merges: a held candidate that is
+        # never contradicted commits with inflated noise after this
+        # many subsequent keyframes (0 disables)
+        self.witness_timeout_kfs = witness_timeout_kfs
         self.curr_halt = curr_halt
         self.prev_halt = prev_halt
         self.p = btc_params
@@ -579,9 +584,6 @@ class LoopManager:
                 self.n_loops_found += 1
                 accepted.append((ci, cand_tgt))
                 done_sessions.add(cand_tgt.session)
-        if not accepted:
-            return None
-
         need = False
         opt_tgt = None
         for ci, tgt in accepted:
@@ -593,10 +595,52 @@ class LoopManager:
             if pushed and want_opt:
                 need = True
                 opt_tgt = tgt
+        t_need, t_tgt = self._age_candidate_links()
+        if t_need and not need:
+            need = True
+            opt_tgt = t_tgt
         if not need:
             return None
         self._since_opt = 0
         return self._optimize(kf, opt_tgt)
+
+    def _age_candidate_links(self) -> tuple:
+        """Witness-mode fallback: every resolved keyframe ages the held
+        first-link candidates; a hold that reaches `witness_timeout_kfs`
+        without a contradicting candidate (which would have REPLACED it
+        and restarted the clock) commits as a single-witness merge with
+        its noise inflated x100 — a stranded true merge eventually
+        lands, weakly weighted, instead of holding forever.  Returns
+        (wants_optimize, target_keyframe)."""
+        if not self._candidate_links or self.witness_timeout_kfs <= 0:
+            return False, None
+        need = False
+        opt_tgt = None
+        for pair in list(self._candidate_links):
+            cand = self._candidate_links[pair]
+            if pair in self._merged_sessions:  # merged by another path
+                del self._candidate_links[pair]
+                continue
+            cand["age"] += 1
+            if cand["age"] < self.witness_timeout_kfs:
+                continue
+            del self._candidate_links[pair]
+            e, ckf, ctgt = cand["edge"], cand["kf"], cand["tgt"]
+            e.v6 = np.clip(e.v6 * 100.0, 1e-6, 10.0).astype(np.float32)
+            print(
+                f"[voxelslam-tpu] witness timeout: committing "
+                f"single-witness link s{e.s1}<-s{e.s2} with inflated "
+                f"noise after {self.witness_timeout_kfs} keyframes"
+            )
+            self._pending_links.append((e, ckf, ctgt, None))
+            self._merged_sessions.add(pair)
+            self.g_update_pending = True
+            self._link_jour[pair] = (
+                self.sessions[ckf.session][ckf.first_scan]["jour"]
+            )
+            need = True
+            opt_tgt = opt_tgt or ctgt
+        return need, opt_tgt
 
     @staticmethod
     def _edge_noise(hdiag) -> np.ndarray:
@@ -735,7 +779,7 @@ class LoopManager:
             prev = self._candidate_links.get(pair)
             agree = False
             if prev is not None:
-                pR, pp, pedge, pkf, ptgt = prev
+                pR, pp = prev["G_R"], prev["G_p"]
                 c = (np.trace(pR.T @ G_R) - 1.0) / 2.0
                 dang = float(np.arccos(np.clip(c, -1.0, 1.0)))
                 dpos = float(np.linalg.norm(
@@ -743,7 +787,13 @@ class LoopManager:
                 ))
                 agree = dang < 0.09 and dpos < 1.5
             if not agree:
-                self._candidate_links[pair] = (G_R, G_p, edge, kf, tgt)
+                # hold (or replace a disagreeing hold — the timeout
+                # clock restarts; age starts at -1 because this same
+                # keyframe's resolve ages every hold by one)
+                self._candidate_links[pair] = dict(
+                    G_R=G_R, G_p=G_p, edge=edge, kf=kf, tgt=tgt,
+                    age=-1,
+                )
                 print(
                     f"[voxelslam-tpu] first-link s{tgt.session}<-"
                     f"s{kf.session} HELD (awaiting consistent witness)"
@@ -751,7 +801,9 @@ class LoopManager:
                 return False, False
             del self._candidate_links[pair]
             self._pending_links.append((edge, kf, tgt, None))
-            self._pending_links.append((pedge, pkf, ptgt, set()))
+            self._pending_links.append(
+                (prev["edge"], prev["kf"], prev["tgt"], set())
+            )
         elif first_link:
             # defer the append: the rigid component connect must see
             # the partition WITHOUT this edge (_apply_pending_links)

@@ -693,6 +693,7 @@ class VoxelSLAM:
             prev_halt=cfg.loop.prev_halt,
             relocal_witnesses=cfg.loop.relocal_witnesses,
             kf_inflight=cfg.loop.kf_inflight,
+            witness_timeout_kfs=cfg.loop.witness_timeout_kfs,
         )
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
