@@ -189,8 +189,20 @@ def _full_system(out):
         odometry=dataclasses.replace(cfg.odometry, evict_dist=200.0),
     )
 
-    slam = VoxelSLAM(cfg)
+    # frontend-only on the SAME world first: isolates the loop/HBA
+    # layers' throughput and accuracy contribution (r3 VERDICT #8) and
+    # pays the ring-shape compile before the full-system fence
     warm = cfg.local_ba.win_size + 1 + 2 * cfg.shapes.scan_batch
+    try:
+        fe_mean, _, _, fe_ate, _ = _run_frontend(
+            cfg, data, warm, 384, 128, "ring/frontend"
+        )
+        out["ring_frontend_scans_per_sec"] = round(fe_mean, 3)
+        out["ring_frontend_ate_m"] = round(fe_ate, 4)
+    except Exception as e:  # pragma: no cover
+        log(f"ring frontend-only run failed: {e!r}")
+
+    slam = VoxelSLAM(cfg)
     for sc in data.scans[:warm]:
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
@@ -201,11 +213,16 @@ def _full_system(out):
         submap=(cfg.gba.max_submaps, cfg.gba.submap_points)
     )
     slam.frontend.telemetry = Telemetry()
+    from voxelslam_tpu.utils.telemetry import host_memory_gb
+
+    rss_samples = []
     timed = data.scans[warm:]
     t0 = time.time()
-    for sc in timed:
+    for k, sc in enumerate(timed):
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
+        if k % 64 == 0:
+            rss_samples.append(round(host_memory_gb(), 2))
     slam.frontend.flush()
     slam._drain()
     dt = time.time() - t0
@@ -227,6 +244,17 @@ def _full_system(out):
     out["full_system_ate_after_gba_m"] = round(ate_after, 4)
     out["full_system_loops"] = slam.loop.n_loops_found
     out["full_system_finish_s"] = round(finish_s, 1)
+    rss_samples.append(round(host_memory_gb(), 2))
+    out["full_system_rss_gb_samples"] = rss_samples
+    # loop closure must not cost accuracy (reference README.md:5,
+    # long-term association is an accuracy feature): the full system
+    # after GBA must beat the drifting frontend on the revisit world
+    if "ring_frontend_ate_m" in out:
+        ok = ate_after <= out["ring_frontend_ate_m"] + 1e-4
+        out["full_vs_frontend_ate_ok"] = bool(ok)
+        if not ok:
+            log(f"WARNING: full-system ATE {ate_after:.4f} worse than "
+                f"frontend-only {out['ring_frontend_ate_m']:.4f}")
     for k in ("loop", "gba_window", "midterm", "fe_step", "dispatch",
               "resolve", "pack"):
         st = tel.stages.get(k)

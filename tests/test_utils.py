@@ -51,6 +51,34 @@ class TestViz:
         assert any(f.startswith("map_pmap") for f in files)
 
 
+def test_viz_clear_on_empty(tmp_path):
+    """Clear-on-empty (voxelslam_pc2.cpp:155-158): after a loop
+    correction, clear() truncates world-frame channels, removes
+    accumulated pmap chunks, and drops an empty marker frame."""
+    import numpy as np
+    from voxelslam_tpu.io import viz
+
+    ex = viz.VizExporter(str(tmp_path), every=1, chunk_points=10)
+    rng = np.random.default_rng(2)
+    ex.scan(rng.normal(size=(10, 3)))
+    ex.local_map(rng.normal(size=(10, 3)))
+    ex.global_map([rng.normal(size=(10, 3)), rng.normal(size=(10, 3))])
+    ex.stream_frame(rng.normal(size=(10, 3)))
+    assert any(f.startswith("map_pmap") for f in os.listdir(tmp_path))
+
+    ex.clear()
+    files = os.listdir(tmp_path)
+    assert not any(f.startswith("map_pmap") for f in files)
+    for ch in ("map_scan.ply", "map_cmap.ply"):
+        raw = open(tmp_path / ch, "rb").read()
+        assert b"element vertex 0" in raw, ch
+    marks = [f for f in os.listdir(tmp_path / "frames")
+             if f.endswith("_clear.ply")]
+    assert len(marks) == 1
+    raw = open(tmp_path / "frames" / marks[0], "rb").read()
+    assert b"element vertex 0" in raw
+
+
 def test_viz_stream_frames(tmp_path):
     """--viz-stream support: stream_frame updates map_scan.ply in
     place and appends numbered frames so a run can be watched."""

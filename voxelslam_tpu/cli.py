@@ -94,6 +94,7 @@ def cmd_run(args):
         )
     t0 = time.time()
     n = 0
+    seen_events = 0
     for f in scan_files:
         d = np.load(f)
         slam.process_scan(
@@ -102,6 +103,12 @@ def cmd_run(args):
         )
         n += 1
         if streamer is not None:
+            # loop correction moved the world: wipe stale accumulated
+            # exports (the reference publishes an empty cloud for the
+            # same purpose, voxelslam_pc2.cpp:155-158)
+            if len(slam.loop_events) > seen_events:
+                seen_events = len(slam.loop_events)
+                streamer.clear()
             sps = slam.frontend.scan_poses
             while streamed < len(sps):
                 sp = sps[streamed]

@@ -104,6 +104,37 @@ class VizExporter:
                 np.asarray(positions),
             )
 
+    def clear(self, channel: str = "all"):
+        """Clear-on-empty semantic (VoxelSLAMPointCloud2::
+        processMessage, voxelslam_pc2.cpp:155-158; README.md:163-172):
+        the reference's RViz plugin wipes an accumulating display when
+        an empty cloud arrives — used after a loop correction moves
+        the world frame and every previously-published point is stale.
+
+        File-export equivalent: world-frame channel files are
+        truncated to empty clouds, accumulated map_pmap chunks are
+        removed, and the numbered frame stream gets an explicit empty
+        `*_clear.ply` marker so a replaying client wipes at exactly
+        the right frame."""
+        import glob as _glob
+
+        empty = np.zeros((0, 3), np.float32)
+        if channel in ("map_pmap", "all"):
+            for f in _glob.glob(os.path.join(self.dir, "map_pmap_*.ply")):
+                os.remove(f)
+        if channel in ("stream", "all"):
+            c = self._n.get("stream", 0)
+            fdir = os.path.join(self.dir, "frames")
+            if os.path.isdir(fdir):
+                write_ply(
+                    os.path.join(fdir, f"scan_{c:05d}_clear.ply"), empty
+                )
+        for ch in ("map_scan", "map_cmap"):
+            if channel in (ch, "all"):
+                p = os.path.join(self.dir, f"{ch}.ply")
+                if os.path.exists(p):
+                    write_ply(p, empty)
+
     def local_map(self, pts_world: np.ndarray):
         if self._due("map_cmap"):
             write_ply(os.path.join(self.dir, "map_cmap.ply"), pts_world)
