@@ -180,6 +180,7 @@ def _full_system(out):
         )
 
     import dataclasses
+    import tempfile
 
     data = _dataset("ring", n_scans, make)
     cfg = _room_cfg()
@@ -187,6 +188,10 @@ def _full_system(out):
         cfg,
         loop=LoopCfg(icp_eigval=3.0, curr_halt=2),
         odometry=dataclasses.replace(cfg.odometry, evict_dist=200.0),
+        # spill marginalized clouds: host RSS stays flat over the run
+        general=dataclasses.replace(
+            cfg.general, spill_dir=tempfile.mkdtemp(prefix="vslam_spill_")
+        ),
     )
 
     # frontend-only on the SAME world first: isolates the loop/HBA
@@ -345,7 +350,20 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"latency-bounded run failed: {e!r}")
 
-    # full system (loop + HBA) on the ring circuit
+    # full system (loop + HBA) on the ring circuit.  Drop the room
+    # phases' compiled programs + dataset first: the ring shapes
+    # compile their own program set, and the accumulated executables
+    # otherwise dominate the reported full-system RSS (measured: RSS
+    # is flat WITHIN a phase; the r3 10.4 GB was three phases'
+    # compile arenas + datasets in one process).
+    try:
+        del data
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
+    except Exception:  # pragma: no cover
+        pass
     try:
         _full_system(out)
     except Exception as e:  # pragma: no cover

@@ -93,3 +93,81 @@ def test_viz_stream_frames(tmp_path):
     assert len(frames) == 3  # every=2 over 6 calls
     assert (tmp_path / "map_scan.ply").exists()
     assert (tmp_path / "map_path.ply").exists()
+
+
+class TestCloudSpill:
+    """Long-run RSS bounding: clouds spill to disk once consumed and
+    re-materialize through the accessors (reference streams PCDs out
+    and frees, voxelslam.cpp:163-174)."""
+
+    def test_store_roundtrip(self, tmp_path):
+        from voxelslam_tpu.utils import spill
+
+        st = spill.CloudSpill(str(tmp_path / "s.bin"))
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(64, 3)).astype(np.float32)
+        mask = rng.random(64) < 0.5
+        rid = st.put(pts, mask)
+        back, bmask = st.get(rid)
+        assert back.shape == (64, 3) and bmask.sum() == mask.sum()
+        np.testing.assert_allclose(
+            np.sort(back[bmask], axis=0), np.sort(pts[mask], axis=0),
+            atol=2e-3,  # f16 storage
+        )
+
+    def test_scan_spill_fetch(self, tmp_path):
+        from voxelslam_tpu.utils import spill
+
+        st = spill.CloudSpill(str(tmp_path / "s.bin"))
+        sp = dict(pts=np.ones((8, 3), np.float32),
+                  mask=np.ones(8, bool))
+        assert spill.spill_scan(st, sp)
+        assert sp["pts"] is None
+        p, m = spill.fetch_scan(sp)
+        assert m.all() and np.allclose(p, 1.0)
+        # idempotent / RAM path
+        sp2 = dict(pts=np.zeros((4, 3), np.float32),
+                   mask=np.zeros(4, bool))
+        p2, m2 = spill.fetch_scan(sp2)
+        assert p2 is sp2["pts"]
+
+    def test_manager_spills_old_scans(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_loop_policies import _mgr, _pose_dict
+
+        mgr = _mgr(spill_dir=str(tmp_path))
+        n = 40
+        for i in range(n):
+            mgr.push_scan_pose(_pose_dict(np.eye(3), [0.5 * i, 0, 0]))
+        sess = mgr.sessions[0]
+        lag = mgr._spill_lag
+        assert all(s["pts"] is None for s in sess[: n - lag])
+        assert all(s["pts"] is not None for s in sess[n - lag:])
+        from voxelslam_tpu.utils.spill import fetch_scan
+        p, m = fetch_scan(sess[0])
+        assert p.shape == (8, 3)
+        # save_session works from spilled state
+        from voxelslam_tpu.io import serialization
+        serialization.save_session(str(tmp_path / "sess"), sess)
+        back = serialization.load_session(str(tmp_path / "sess"))
+        assert len(back) == n and back[0]["pts"].shape == (8, 3)
+
+    def test_keyframe_spill_roundtrip(self, tmp_path):
+        from voxelslam_tpu.loop import manager
+        from voxelslam_tpu.utils import spill
+
+        st = spill.CloudSpill(str(tmp_path / "k.bin"))
+        rng = np.random.default_rng(1)
+        cloud = rng.normal(size=(32, 3)).astype(np.float32)
+        cm = rng.random(32) < 0.8
+        k = manager.Keyframe(0, 0, 0, np.eye(3), np.zeros(3),
+                             cloud.copy(), cm.copy())
+        k.spill(st)
+        assert k.cloud is None
+        kc, km = k.get_cloud()
+        assert km.sum() == cm.sum()
+        np.testing.assert_allclose(
+            np.sort(kc[km], axis=0), np.sort(cloud[cm], axis=0),
+            atol=2e-3,
+        )

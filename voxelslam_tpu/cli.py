@@ -113,7 +113,10 @@ def cmd_run(args):
             while streamed < len(sps):
                 sp = sps[streamed]
                 streamed += 1
-                pw = sp["pts"][sp["mask"]] @ sp["R"].T + sp["p"]
+                from .utils.spill import fetch_scan
+
+                p_full, m_full = fetch_scan(sp)
+                pw = p_full[m_full] @ sp["R"].T + sp["p"]
                 streamer.stream_frame(
                     pw, np.stack([s["p"] for s in sps[: streamed]]),
                 )
@@ -243,7 +246,8 @@ def cmd_run(args):
         ex.path(ps, np.asarray([0] * len(ps)))
         clouds = []
         for k in slam.loop.keyframes:
-            pw = k.cloud[k.cloud_mask] @ k.R0.T + k.p0
+            kc, km = k.get_cloud()
+            pw = kc[km] @ k.R0.T + k.p0
             clouds.append(pw)
         if clouds:
             ex.global_map(clouds)

@@ -32,6 +32,11 @@ class GeneralCfg:
     extrinsic_tran: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     extrinsic_rota: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
     is_save_map: int = 0
+    # spill marginalized scan/keyframe clouds to this directory,
+    # bounding host RSS on long runs (the reference streams per-scan
+    # PCDs out and frees, voxelslam.cpp:163-174); "" keeps everything
+    # in RAM
+    spill_dir: str = ""
 
 
 @dataclass(frozen=True)

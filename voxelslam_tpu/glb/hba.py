@@ -275,9 +275,10 @@ class GlobalMapper:
         R = np.tile(np.eye(3, dtype=np.float32), (hp.win, 1, 1))
         p = np.zeros((hp.win, 3), np.float32)
         for i, k in enumerate(kfs):
-            m = min(k.cloud.shape[0], P)
-            pts[i, :m] = k.cloud[:m]
-            mask[i, :m] = k.cloud_mask[:m]
+            kc, km = k.get_cloud()
+            m = min(kc.shape[0], P)
+            pts[i, :m] = kc[:m]
+            mask[i, :m] = km[:m]
             R[i] = k.R0
             p[i] = k.p0
         out = window_ba(
@@ -313,7 +314,8 @@ class GlobalMapper:
         base_R, base_p = R2[0], p2[0]
         cloud = []
         for i, k in enumerate(kfs):
-            pw = k.cloud[k.cloud_mask] @ R2[i].T + p2[i]
+            kc, km = k.get_cloud()
+            pw = kc[km] @ R2[i].T + p2[i]
             cloud.append((pw - base_p) @ base_R)
         self.submaps.append(
             dict(R0=base_R, p0=base_p,

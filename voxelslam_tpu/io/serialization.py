@@ -177,9 +177,13 @@ def load_edges(path: str, known_names: List[str], bagname: str = ""):
 
 def save_scans_npz(path: str, scan_poses: List[dict]):
     """Store per-scan body-frame clouds compactly (replaces the
-    reference's one-PCD-per-scan layout)."""
-    pts = np.stack([sp["pts"] for sp in scan_poses]).astype(np.float16)
-    mask = np.stack([sp["mask"] for sp in scan_poses])
+    reference's one-PCD-per-scan layout).  Clouds spilled to disk by
+    the loop layer re-materialize through utils.spill."""
+    from ..utils.spill import fetch_scan
+
+    clouds = [fetch_scan(sp) for sp in scan_poses]
+    pts = np.stack([c[0] for c in clouds]).astype(np.float16)
+    mask = np.stack([c[1] for c in clouds])
     np.savez_compressed(path, pts=pts, mask=mask)
 
 
@@ -251,7 +255,8 @@ def save_session(dirpath: str, scan_poses: List[dict]):
     """Full session checkpoint: trajectory + scan clouds."""
     os.makedirs(dirpath, exist_ok=True)
     save_lidar_state(os.path.join(dirpath, "alidarState.txt"), scan_poses)
-    if scan_poses and "pts" in scan_poses[0]:
+    sp0 = scan_poses[0] if scan_poses else {}
+    if sp0.get("pts") is not None or sp0.get("spill") is not None:
         save_scans_npz(os.path.join(dirpath, "scans.npz"), scan_poses)
 
 

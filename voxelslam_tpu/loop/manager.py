@@ -36,6 +36,7 @@ import numpy as np
 
 from ..core import so3
 from ..ops import downsample
+from ..utils import spill as _spill
 from . import btc, database, icp, posegraph
 
 
@@ -101,10 +102,26 @@ class Keyframe:
     first_scan: int  # index of base scan within its session
     R0: np.ndarray  # base pose (world)
     p0: np.ndarray
-    cloud: np.ndarray  # (P, 3) local-frame merged cloud
-    cloud_mask: np.ndarray
+    cloud: Optional[np.ndarray]  # (P, 3) local-frame merged cloud
+    cloud_mask: Optional[np.ndarray]
     jour: float = 0.0
     loadable: bool = False  # mid-term reload candidate (kf.exist)
+    _spill: Optional[tuple] = None  # (CloudSpill, record id)
+
+    def get_cloud(self):
+        """(cloud, mask), materializing from the spill store if the
+        RAM copy was dropped (utils/spill.py)."""
+        if self.cloud is not None:
+            return self.cloud, self.cloud_mask
+        store, rid = self._spill
+        return store.get(rid)
+
+    def spill(self, store) -> None:
+        if store is None or self.cloud is None:
+            return
+        self._spill = (store, store.put(self.cloud, self.cloud_mask))
+        self.cloud = None
+        self.cloud_mask = None
 
 
 class _SessChain:
@@ -213,6 +230,7 @@ class LoopManager:
         relocal_witnesses: int = 1,
         kf_inflight: int = 1,
         witness_timeout_kfs: int = 8,
+        spill_dir: Optional[str] = None,
     ):
         self.ratio_drift = ratio_drift
         # cross-session merge policy: 1 = commit on the first
@@ -244,6 +262,14 @@ class LoopManager:
         self.sessions: List[List[dict]] = [[]]
         # numpy mirrors for O(1)-per-scan PGO graph assembly
         self._chains: List[_SessChain] = [_SessChain()]
+        # disk spill for long-run RSS (reference streams PCDs out and
+        # frees, voxelslam.cpp:163-174): scan clouds spill once older
+        # than the keyframe-builder lag; keyframe clouds spill from
+        # _optimize once out of the recent window
+        self.spill_dir = spill_dir
+        self._spill_store = None
+        self._spill_lag = win_size * 2 + 4
+        self._spill_cursors: List[int] = [0]
         self.keyframes: List[Keyframe] = []
         self.loop_edges: List[LoopEdge] = []
         self._pending: List[dict] = []  # scans waiting to form a keyframe
@@ -367,10 +393,20 @@ class LoopManager:
             self._resolve_keyframe()
         self.sessions.append([])
         self._chains.append(_SessChain())
+        self._spill_cursors.append(0)
         self._pending = []
         self._last_kf_pose = None
 
     # ------------------------------------------------------------- scans
+
+    def _store(self):
+        if self._spill_store is None:
+            import os as _os
+
+            self._spill_store = _spill.CloudSpill(
+                _os.path.join(self.spill_dir, f"clouds_{id(self):x}.bin")
+            )
+        return self._spill_store
 
     def nearest_loadable(self, pos: np.ndarray, radius: float = 10.0):
         """One loadable keyframe within radius of `pos` (the per-scan
@@ -411,6 +447,14 @@ class LoopManager:
             sp["jour"] = 0.0
         sess.append(sp)
         self._chains[-1].append(sp)
+        if self.spill_dir is not None:
+            store = self._store()
+            cur = self._spill_cursors[-1]
+            hi = len(sess) - self._spill_lag
+            while cur < hi:
+                _spill.spill_scan(store, sess[cur])
+                cur += 1
+            self._spill_cursors[-1] = cur
 
         # keyframe gating: skip near-static scans (voxelslam.cpp:1932-1939)
         if self._last_kf_pose is not None:
@@ -450,7 +494,8 @@ class LoopManager:
         R0, p0 = base["R"], base["p"]
         pts_local = []
         for s in scans:
-            pts = s["pts"][s["mask"]]
+            p_full, m_full = _spill.fetch_scan(s)
+            pts = p_full[m_full]
             pw = pts @ s["R"].T + s["p"]
             pts_local.append((pw - p0) @ R0)
         pts_local = np.concatenate(pts_local).astype(np.float32)
@@ -1097,10 +1142,16 @@ class LoopManager:
         recent = self.keyframes[-5:]
         for k in self.keyframes[:-5]:
             k.loadable = True
+        if self.spill_dir is not None:
+            # old keyframe clouds spill to disk (mid-term reload and
+            # finish-time HBA re-materialize through get_cloud)
+            store = self._store()
+            for k in self.keyframes[:-24]:
+                k.spill(store)
         return dict(
             dx_R=dx_R, dx_p=dx_p,
             kf_clouds=[
-                (k.cloud, k.cloud_mask, k.R0, k.p0) for k in recent
+                k.get_cloud() + (k.R0, k.p0) for k in recent
             ],
             chi2=float(chi2),
             target_session=tgt.session,

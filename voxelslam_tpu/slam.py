@@ -316,6 +316,25 @@ class SlamFrontend:
         """Compile off-hot-path programs before they are first needed."""
         if self.phase == "STEADY" and self.scan_batch > 1:
             self._flush_program()
+        self._evict_exec()
+
+    def _evict_exec(self):
+        """The eviction+compaction program as an AOT executable.
+
+        Its first jit call otherwise compiles mid-stream at the first
+        evict_dist/8 travel mark (measured 14.7 s on the tunneled TPU
+        when the shape set differs from a cached one — BENCH r4 ring
+        frontend segment 1 ran at 7 scans/s because of exactly this).
+        `dist` and `jour` are traced, so one executable serves the
+        periodic evict AND the pressure valve's shrinking horizon."""
+        if getattr(self, "_evict_aot", None) is None:
+            from .map import voxelmap as _vm
+
+            zero = jnp.asarray(0.0, self.dtype)
+            self._evict_aot = _vm.evict_compiled.lower(
+                self.carry.vmap, zero, self.pp.map_params, zero
+            ).compile()
+        return self._evict_aot
 
     def _maybe_gravity_refresh(self):
         """One-shot gravity-refining window BA (g_update protocol,
@@ -458,11 +477,10 @@ class SlamFrontend:
         return rec_prev
 
     def _evict(self, jour_now: float, dist: float):
-        from .map import voxelmap as _vm
         with self.telemetry.stage("evict"):
-            vmap, dstmap = _vm.evict_compiled(
+            vmap, dstmap = self._evict_exec()(
                 self.carry.vmap, jnp.asarray(jour_now, self.dtype),
-                self.pp.map_params, jnp.asarray(dist, self.dtype),
+                jnp.asarray(dist, self.dtype),
             )
             # compaction moved slots: remap the window's per-point
             # routing records and the pending re-route touched set
@@ -694,6 +712,7 @@ class VoxelSLAM:
             relocal_witnesses=cfg.loop.relocal_witnesses,
             kf_inflight=cfg.loop.kf_inflight,
             witness_timeout_kfs=cfg.loop.witness_timeout_kfs,
+            spill_dir=cfg.general.spill_dir or None,
         )
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
@@ -782,8 +801,9 @@ class VoxelSLAM:
             k = self.loop.nearest_loadable(rec.p)
             if k is not None:
                 with self.frontend.telemetry.stage("midterm"):
+                    kc, km = k.get_cloud()
                     self.frontend.insert_keyframe_fixed(
-                        k.cloud, k.cloud_mask, k.R0, k.p0
+                        kc, km, k.R0, k.p0
                     )
                 self.frontend.telemetry.count("midterm_loads")
         self._drain()
