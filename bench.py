@@ -112,6 +112,12 @@ def _run_frontend(cfg, data, warm, timed_n, seg, label):
     for sc in data.scans[:warm]:
         fe.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                         data.imu_t, data.imu_gyr, data.imu_acc)
+    # drain the pipe: the FIRST executions of a fresh program set can
+    # take seconds on the tunneled device (remote program load) — pay
+    # that inside warmup, not in the first timed segment (measured:
+    # 5.3 s first-batch resolve put ring segment 1 at 19 scans/s)
+    fe.flush()
+    jax.device_get(fe.carry.x.p)
     warmup_s = time.time() - t0
     log(f"[{label}] warmup+compile: {warmup_s:.1f}s, phase={fe.phase}")
     if fe.phase != "STEADY":
@@ -194,23 +200,14 @@ def _full_system(out):
         ),
     )
 
-    # frontend-only on the SAME world first: isolates the loop/HBA
-    # layers' throughput and accuracy contribution (r3 VERDICT #8) and
-    # pays the ring-shape compile before the full-system fence
     warm = cfg.local_ba.win_size + 1 + 2 * cfg.shapes.scan_batch
-    try:
-        fe_mean, _, _, fe_ate, _ = _run_frontend(
-            cfg, data, warm, 384, 128, "ring/frontend"
-        )
-        out["ring_frontend_scans_per_sec"] = round(fe_mean, 3)
-        out["ring_frontend_ate_m"] = round(fe_ate, 4)
-    except Exception as e:  # pragma: no cover
-        log(f"ring frontend-only run failed: {e!r}")
-
     slam = VoxelSLAM(cfg)
     for sc in data.scans[:warm]:
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
+    # drain: first executions of the steady programs finish pre-fence
+    slam.frontend.flush()
+    slam._drain()
     # compile the HBA window + finish submap programs BEFORE the fence
     # (the first window otherwise compiles mid-stream — 80 s observed
     # on a cache miss — and the submap BA inside finish())
@@ -251,15 +248,24 @@ def _full_system(out):
     out["full_system_finish_s"] = round(finish_s, 1)
     rss_samples.append(round(host_memory_gb(), 2))
     out["full_system_rss_gb_samples"] = rss_samples
-    # loop closure must not cost accuracy (reference README.md:5,
-    # long-term association is an accuracy feature): the full system
-    # after GBA must beat the drifting frontend on the revisit world
-    if "ring_frontend_ate_m" in out:
-        ok = ate_after <= out["ring_frontend_ate_m"] + 1e-4
+
+    # frontend-only on the SAME world: isolates the loop/HBA layers'
+    # throughput and accuracy contribution (r3 VERDICT #8).  Runs
+    # AFTER the full-system phase so the full-system RSS above is
+    # measured standalone; the programs are warm from the run above.
+    try:
+        fe_mean, _, _, fe_ate, _ = _run_frontend(
+            cfg, data, warm, 384, 128, "ring/frontend"
+        )
+        out["ring_frontend_scans_per_sec"] = round(fe_mean, 3)
+        out["ring_frontend_ate_m"] = round(fe_ate, 4)
+        ok = ate_after <= fe_ate + 1e-4
         out["full_vs_frontend_ate_ok"] = bool(ok)
         if not ok:
             log(f"WARNING: full-system ATE {ate_after:.4f} worse than "
-                f"frontend-only {out['ring_frontend_ate_m']:.4f}")
+                f"frontend-only {fe_ate:.4f}")
+    except Exception as e:  # pragma: no cover
+        log(f"ring frontend-only run failed: {e!r}")
     for k in ("loop", "gba_window", "midterm", "fe_step", "dispatch",
               "resolve", "pack"):
         st = tel.stages.get(k)
