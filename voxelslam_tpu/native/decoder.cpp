@@ -141,52 +141,83 @@ int voxel_reduce(const float* xyz, const float* offt, long n,
     if (n <= 0 || cell <= 0.0 || max_out <= 0) return 0;
     long cap = 1;
     while (cap < 2 * (max_out + 1)) cap <<= 1;
-    struct Ent { int64_t key; int32_t idx; float d2; };
-    Ent* tab = new Ent[cap];
+    // Persistent probe state (the SLAM host is single-threaded): the
+    // table outlives the call and is cleared via the used-slot list,
+    // so each call touches O(uniques) slots instead of alloc+memset of
+    // the whole table.  SoA layout keeps the probed keys array small
+    // (8 B/slot) for cache residency on the 1-core host.
+    static int64_t* keys = nullptr;
+    static int32_t* idxs = nullptr;
+    static float* d2s = nullptr;
+    static int32_t* used = nullptr;
+    static long cap_alloc = 0, used_cap = 0;
     const int64_t EMPTY = INT64_MIN;
-    for (long s = 0; s < cap; s++) tab[s].key = EMPTY;
-    const double inv = 1.0 / cell;
+    if (cap > cap_alloc) {
+        delete[] keys; delete[] idxs; delete[] d2s;
+        keys = new int64_t[cap];
+        idxs = new int32_t[cap];
+        d2s = new float[cap];
+        for (long s = 0; s < cap; s++) keys[s] = EMPTY;
+        cap_alloc = cap;
+    }
+    if (max_out + 1 > used_cap) {
+        delete[] used;
+        used = new int32_t[max_out + 1];
+        used_cap = max_out + 1;
+    }
+    const long mask = cap_alloc - 1;
+    const float inv = (float)(1.0 / cell);
+    const float fcell = (float)cell;
     long uniques = 0;
+    bool overflow = false;
+    // scan-line coherence: consecutive rays often land in the same
+    // cell — remember the last slot and skip the whole probe
+    int64_t last_key = EMPTY;
+    long last_slot = 0;
     for (long i = 0; i < n; i++) {
-        double x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
-        long ix = (long)std::floor(x * inv);
-        long iy = (long)std::floor(y * inv);
-        long iz = (long)std::floor(z * inv);
-        int64_t key = ((int64_t)(ix & 0x1FFFFF) << 42)
-                    | ((int64_t)(iy & 0x1FFFFF) << 21)
-                    | (int64_t)(iz & 0x1FFFFF);
-        double cx = (ix + 0.5) * cell, cy = (iy + 0.5) * cell,
-               cz = (iz + 0.5) * cell;
-        float d2 = (float)((x - cx) * (x - cx) + (y - cy) * (y - cy)
-                           + (z - cz) * (z - cz));
-        uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
-        long s = (long)(h & (uint64_t)(cap - 1));
-        for (;;) {
-            if (tab[s].key == EMPTY) {
-                if (uniques >= max_out) { delete[] tab; return -1; }
-                tab[s].key = key; tab[s].idx = (int32_t)i; tab[s].d2 = d2;
-                uniques++;
-                break;
+        float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+        float fx = floorf(x * inv), fy = floorf(y * inv),
+              fz = floorf(z * inv);
+        int64_t key = ((int64_t)((long)fx & 0x1FFFFF) << 42)
+                    | ((int64_t)((long)fy & 0x1FFFFF) << 21)
+                    | (int64_t)((long)fz & 0x1FFFFF);
+        float dx = x - (fx + 0.5f) * fcell;
+        float dy = y - (fy + 0.5f) * fcell;
+        float dz = z - (fz + 0.5f) * fcell;
+        float d2 = dx * dx + dy * dy + dz * dz;
+        long s;
+        if (key == last_key) {
+            s = last_slot;
+        } else {
+            uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
+            s = (long)((h >> 32) & (uint64_t)mask);
+            while (keys[s] != EMPTY && keys[s] != key)
+                s = (s + 1) & mask;
+            if (keys[s] == EMPTY) {
+                if (uniques >= max_out) { overflow = true; break; }
+                keys[s] = key;
+                idxs[s] = (int32_t)i;
+                d2s[s] = 1e30f;
+                used[uniques++] = (int32_t)s;
             }
-            if (tab[s].key == key) {
-                if (d2 < tab[s].d2) { tab[s].idx = (int32_t)i; tab[s].d2 = d2; }
-                break;
-            }
-            s = (s + 1) & (cap - 1);
+            last_key = key;
+            last_slot = s;
         }
+        if (d2 < d2s[s]) { idxs[s] = (int32_t)i; d2s[s] = d2; }
     }
     long m = 0;
-    for (long s = 0; s < cap && m < max_out; s++) {
-        if (tab[s].key == EMPTY) continue;
-        long i = tab[s].idx;
-        out_xyz[3 * m + 0] = xyz[3 * i + 0];
-        out_xyz[3 * m + 1] = xyz[3 * i + 1];
-        out_xyz[3 * m + 2] = xyz[3 * i + 2];
-        out_offt[m] = offt[i];
-        m++;
+    if (!overflow) {
+        for (long u = 0; u < uniques; u++) {
+            long i = idxs[used[u]];
+            out_xyz[3 * m + 0] = xyz[3 * i + 0];
+            out_xyz[3 * m + 1] = xyz[3 * i + 1];
+            out_xyz[3 * m + 2] = xyz[3 * i + 2];
+            out_offt[m] = offt[i];
+            m++;
+        }
     }
-    delete[] tab;
-    return (int)m;
+    for (long u = 0; u < uniques; u++) keys[used[u]] = EMPTY;
+    return overflow ? -1 : (int)m;
 }
 
 // Multi-cell variant: try `cells[start..n_cells)` in order inside ONE
