@@ -53,6 +53,7 @@ def icp_plane(
     # the program runs once per keyframe, so 2x iterations are cheap
     max_iter: int = 40,
     min_match_frac: float = 0.0,
+    early_exit: bool = True,
 ) -> IcpResult:
     dtype = src_pts.dtype
     coarse = jnp.asarray([0.2, 0.2, 0.5, 3.0], dtype)
@@ -115,9 +116,28 @@ def icp_plane(
         jnp.zeros((3, 3), dtype), jnp.zeros((), jnp.int32),
         jnp.zeros((6,), dtype),
     )
-    R, t, stage, converged, nnt, cnt, hdiag = jax.lax.fori_loop(
-        0, max_iter, body, init
-    )
+    if early_exit:
+        # while_loop instead of a fixed fori: iterations stop at
+        # convergence.  Under the keyframe program's vmap over
+        # candidates, JAX's while batching ORs the predicates and
+        # select-freezes finished lanes — the batch runs to the
+        # SLOWEST candidate's convergence instead of always paying
+        # max_iter (Q, M) NN matmuls per candidate.  The converged
+        # flag flips only once (converged = converged | ...), so a
+        # frozen lane's carry is exactly its fori value.
+
+        def w_cond(c):
+            return (c[0] < max_iter) & ~c[4]
+
+        def w_body(c):
+            return (c[0] + 1,) + body(c[0], c[1:])
+
+        out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0),) + init)
+        R, t, stage, converged, nnt, cnt, hdiag = out[1:]
+    else:
+        R, t, stage, converged, nnt, cnt, hdiag = jax.lax.fori_loop(
+            0, max_iter, body, init
+        )
     ev = eigh3.eigvals3(nnt)
     accepted = (ev[0] > icp_eigval) & converged
     if min_match_frac > 0.0:
