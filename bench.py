@@ -273,7 +273,48 @@ def _full_system(out):
             out[f"stage_{k}_ms"] = round(1000.0 * st.mean, 2)
 
 
+def _full_system_child():
+    """`bench.py --full-only`: run ONLY the full-system phase and print
+    its JSON fragment.  Runs as a CHILD process BEFORE the parent
+    claims the TPU, so its RSS samples measure the full system
+    standalone — in-process, the room phases' compile arenas and
+    datasets dominate the reading (r3: 10.4 GB attributed to the full
+    system that was really three phases' arenas)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    dev = jax.devices()[0]
+    log(f"[full child] device: {dev.platform} {dev.device_kind}")
+    out = {}
+    _full_system(out)
+    print(json.dumps(out))
+
+
 def main():
+    if "--full-only" in sys.argv:
+        _full_system_child()
+        return
+
+    # full-system phase first, in a child process (standalone RSS and
+    # timing; one TPU claim at a time — the parent has not touched jax
+    # yet, and waits)
+    full_out = {}
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--full-only"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(r.stderr)
+        for line in r.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                full_out = json.loads(line)
+    except Exception as e:  # pragma: no cover
+        log(f"full-system child failed: {e!r}")
+
     import jax
 
     # persistent compile cache (TPU compiles of the fused scan step
@@ -356,27 +397,9 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"latency-bounded run failed: {e!r}")
 
-    # full system (loop + HBA) on the ring circuit.  Drop the room
-    # phases' compiled programs + dataset first: the ring shapes
-    # compile their own program set, and the accumulated executables
-    # otherwise dominate the reported full-system RSS (measured: RSS
-    # is flat WITHIN a phase; the r3 10.4 GB was three phases'
-    # compile arenas + datasets in one process).
-    try:
-        del data
-        jax.clear_caches()
-        import gc
-
-        gc.collect()
-    except Exception:  # pragma: no cover
-        pass
-    try:
-        _full_system(out)
-    except Exception as e:  # pragma: no cover
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        log(f"full-system run failed: {e!r}")
+    # full system (loop + HBA) on the ring circuit: measured in the
+    # child process above (standalone RSS/timing); merge its fragment
+    out.update(full_out)
 
     if not np.isfinite(out["ate_m"]) or out["ate_m"] > 1.0:
         log("WARNING: trajectory quality degraded; reporting anyway")
