@@ -188,7 +188,11 @@ def _full_system(out):
     import dataclasses
     import tempfile
 
+    from voxelslam_tpu.utils.telemetry import host_memory_gb
+
+    rss_at = {"import": round(host_memory_gb(), 2)}
     data = _dataset("ring", n_scans, make)
+    rss_at["dataset"] = round(host_memory_gb(), 2)
     cfg = _room_cfg()
     cfg = dataclasses.replace(
         cfg,
@@ -215,7 +219,7 @@ def _full_system(out):
         submap=(cfg.gba.max_submaps, cfg.gba.submap_points)
     )
     slam.frontend.telemetry = Telemetry()
-    from voxelslam_tpu.utils.telemetry import host_memory_gb
+    rss_at["warmup"] = round(host_memory_gb(), 2)
 
     rss_samples = []
     timed = data.scans[warm:]
@@ -248,6 +252,7 @@ def _full_system(out):
     out["full_system_finish_s"] = round(finish_s, 1)
     rss_samples.append(round(host_memory_gb(), 2))
     out["full_system_rss_gb_samples"] = rss_samples
+    out["full_system_rss_gb_at"] = rss_at
 
     # frontend-only on the SAME world: isolates the loop/HBA layers'
     # throughput and accuracy contribution (r3 VERDICT #8).  Runs
