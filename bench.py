@@ -75,7 +75,13 @@ def _room_cfg():
             # (C,)-sized pass in the fused step vs 2^15
             hash_capacity=1 << 14,
             max_ba_voxels=2048,
-            scan_batch=16,
+            # in-process paired A/B (scripts/ab_cfg.py, r4): 16 -> 32
+            # is +29 scans/s, 32 -> 64 another +80 (ATE 0.0051 at all
+            # three) — the batched lax.scan amortizes per-batch
+            # program overhead.  32 keeps loop corrections <= 2
+            # batches stale on the full-system ring; 64 recorded as an
+            # experiment (CLAUDE.md r4 perf facts)
+            scan_batch=32,
             # ATE-neutral under the refit growth gate (pipeline.py
             # refit_size note); skipped voxels retry on next touch
             refit_size=1024,
