@@ -225,6 +225,7 @@ def _full_system(out):
         submap=(cfg.gba.max_submaps, cfg.gba.submap_points)
     )
     slam.frontend.telemetry = Telemetry()
+    slam.loop.telemetry = slam.frontend.telemetry
     rss_at["warmup"] = round(host_memory_gb(), 2)
 
     rss_samples = []
@@ -278,7 +279,8 @@ def _full_system(out):
     except Exception as e:  # pragma: no cover
         log(f"ring frontend-only run failed: {e!r}")
     for k in ("loop", "gba_window", "midterm", "fe_step", "dispatch",
-              "resolve", "pack"):
+              "resolve", "pack", "kf_build", "kf_dispatch",
+              "kf_resolve", "pgo", "spill"):
         st = tel.stages.get(k)
         if st is not None and st.count:
             out[f"stage_{k}_ms"] = round(1000.0 * st.mean, 2)

@@ -313,6 +313,12 @@ class LoopManager:
         # inter-session links come from edge.txt via
         # install_prior_edges, never from re-verification
         self.replay_mode = False
+        # host-cost attribution (sub-stages of the orchestrator's
+        # `loop` stage); VoxelSLAM points this at the frontend's
+        # Telemetry so one table covers the whole system
+        from ..utils.telemetry import Telemetry
+
+        self.telemetry = Telemetry()
 
     # ---------------------------------------------------------- sessions
 
@@ -448,13 +454,14 @@ class LoopManager:
         sess.append(sp)
         self._chains[-1].append(sp)
         if self.spill_dir is not None:
-            store = self._store()
-            cur = self._spill_cursors[-1]
-            hi = len(sess) - self._spill_lag
-            while cur < hi:
-                _spill.spill_scan(store, sess[cur])
-                cur += 1
-            self._spill_cursors[-1] = cur
+            with self.telemetry.stage("spill"):
+                store = self._store()
+                cur = self._spill_cursors[-1]
+                hi = len(sess) - self._spill_lag
+                while cur < hi:
+                    _spill.spill_scan(store, sess[cur])
+                    cur += 1
+                self._spill_cursors[-1] = cur
 
         # keyframe gating: skip near-static scans (voxelslam.cpp:1932-1939)
         if self._last_kf_pose is not None:
@@ -471,7 +478,8 @@ class LoopManager:
         if len(self._pending) < self.win_size:
             return None
 
-        kf, raw_pts, raw_mask = self._build_keyframe(self._pending)
+        with self.telemetry.stage("kf_build"):
+            kf, raw_pts, raw_mask = self._build_keyframe(self._pending)
         self._pending = []
         # dispatch-and-defer: resolve the OLDEST in-flight keyframe
         # only once `kf_inflight` programs are outstanding (see
@@ -481,7 +489,8 @@ class LoopManager:
         event = None
         if len(self._kf_queue) >= self.kf_inflight:
             event = self._resolve_keyframe()
-        self._dispatch_keyframe(kf, raw_pts, raw_mask)
+        with self.telemetry.stage("kf_dispatch"):
+            self._dispatch_keyframe(kf, raw_pts, raw_mask)
         return event
 
     # --------------------------------------------------------- keyframes
@@ -591,7 +600,8 @@ class LoopManager:
             return None
         kf, outs = self._kf_queue.pop(0)
         # one transfer for everything the host decides on
-        ds_pts, ds_mask, cands, rs = jax.device_get(outs)
+        with self.telemetry.stage("kf_resolve"):
+            ds_pts, ds_mask, cands, rs = jax.device_get(outs)
         kf.cloud = np.asarray(ds_pts)
         kf.cloud_mask = np.asarray(ds_mask)
         if self.replay_mode:
@@ -1109,6 +1119,10 @@ class LoopManager:
 
     def _optimize(self, kf: Keyframe, tgt: Keyframe) -> dict:
         """Solve the pose graph and write back (voxelslam.cpp:2088-2175)."""
+        with self.telemetry.stage("pgo"):
+            return self._optimize_impl(kf, tgt)
+
+    def _optimize_impl(self, kf: Keyframe, tgt: Keyframe) -> dict:
         sess0 = self.sessions[-1]
         # capture the current session's tail BEFORE the rigid connect:
         # the returned dx must cover connect + GN polish so the

@@ -714,6 +714,9 @@ class VoxelSLAM:
             witness_timeout_kfs=cfg.loop.witness_timeout_kfs,
             spill_dir=cfg.general.spill_dir or None,
         )
+        # one telemetry table for the whole system (loop sub-stages
+        # land next to the frontend's)
+        self.loop.telemetry = self.frontend.telemetry
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
             gba_min_eigen=cfg.gba.min_eigen_value,
