@@ -75,13 +75,17 @@ def _room_cfg():
             # (C,)-sized pass in the fused step vs 2^15
             hash_capacity=1 << 14,
             max_ba_voxels=2048,
-            # in-process paired A/B (scripts/ab_cfg.py, r4): 16 -> 32
-            # is +29 scans/s, 32 -> 64 another +80 (ATE 0.0051 at all
-            # three) — the batched lax.scan amortizes per-batch
-            # program overhead.  32 keeps loop corrections <= 2
-            # batches stale on the full-system ring; 64 recorded as an
-            # experiment (CLAUDE.md r4 perf facts)
-            scan_batch=32,
+            # batch-size A/B with honest fences (scripts/ab_batch.py,
+            # full pipe drain per 256-scan window, paired): b16 93.9 /
+            # b32 93.5 / b64 90.2 scans/s, ATE 0.0051 at all three —
+            # throughput is batch-FLAT from 16 up (per-scan device
+            # time dominates; per-batch overhead is already amortized
+            # at 16).  Earlier "+29 at b32, +80 at b64" readings came
+            # from scripts/ab_cfg.py's one-batch-in-flight 64-scan
+            # windows, which at large batches measure host dispatch
+            # rate, not device throughput.  16 keeps output latency at
+            # 2 batches = 32 scans
+            scan_batch=16,
             # ATE-neutral under the refit growth gate (pipeline.py
             # refit_size note); skipped voxels retry on next touch
             refit_size=1024,
@@ -106,8 +110,17 @@ def _ate(ts, ps, gt_t, gt_p):
 
 
 def _run_frontend(cfg, data, warm, timed_n, seg, label):
-    """Warm up, then time `timed_n` scans in `timed_n//seg` contiguous
-    segments.  Returns (mean_sps, std_sps, seg_rates, ate, warmup_s)."""
+    """Warm up, then time `timed_n` scans end-to-end (including the
+    final pipe flush), with per-`seg` segment rates as diagnostics.
+
+    The HEADLINE is the end-to-end rate: with pipe_depth batches in
+    flight, a segment shorter than a few batches can complete without
+    ever waiting on the device (at scan_batch=64 a 128-scan segment is
+    exactly the pipe depth — its "rate" is host dispatch speed), so a
+    mean of segment rates overstates throughput.  timed_n/total with a
+    full drain at the end cannot.
+
+    Returns (end_to_end_sps, seg_std, seg_rates, ate, warmup_s)."""
     import jax
 
     from voxelslam_tpu.slam import SlamFrontend
@@ -135,6 +148,8 @@ def _run_frontend(cfg, data, warm, timed_n, seg, label):
     fe.telemetry = Telemetry()
     rates = []
     pos = warm
+    n_timed = 0
+    t_all = time.time()
     while pos + seg <= warm + timed_n and pos + seg <= len(data.scans):
         t0 = time.time()
         for sc in data.scans[pos : pos + seg]:
@@ -148,15 +163,17 @@ def _run_frontend(cfg, data, warm, timed_n, seg, label):
             jax.block_until_ready(fe.carry.x.p)
         rates.append(seg / (time.time() - t0))
         pos += seg
+        n_timed += seg
+    overall = n_timed / (time.time() - t_all)
     log(fe.telemetry.report())
     ts, Rs, ps = fe.trajectory()
     ate = _ate(ts, ps, data.gt_t, data.gt_p)
-    mean = float(np.mean(rates))
     std = float(np.std(rates))
     log(f"[{label}] segments: "
         + ", ".join(f"{r:.1f}" for r in rates)
-        + f" -> {mean:.2f} +/- {std:.2f} scans/s; ATE {ate:.4f} m")
-    return mean, std, rates, ate, warmup_s
+        + f" -> {overall:.2f} scans/s end-to-end "
+        f"(segment spread +/- {std:.2f}); ATE {ate:.4f} m")
+    return overall, std, rates, ate, warmup_s
 
 
 def _full_system(out):
@@ -203,6 +220,10 @@ def _full_system(out):
     cfg = dataclasses.replace(
         cfg,
         loop=LoopCfg(icp_eigval=3.0, curr_halt=2),
+        # b16 here: at b32 the keyframe resolves wait behind the
+        # 2x-longer frontend batches (measured 42.4 vs 49.9 scans/s)
+        # and loop corrections land 2 batches = 64 scans stale
+        shapes=dataclasses.replace(cfg.shapes, scan_batch=16),
         odometry=dataclasses.replace(cfg.odometry, evict_dist=200.0),
         # spill marginalized clouds: host RSS stays flat over the run
         general=dataclasses.replace(
@@ -350,8 +371,8 @@ def main():
     seg = 128
     # 6 contiguous segments; the final flush (draining the pipe_depth
     # in-flight batches — real work for timed scans) is timed into the
-    # last segment, so a longer window amortizes that fixed tail
-    # honestly instead of moving the fence around it
+    # last segment, and the headline is the end-to-end rate over all
+    # timed scans (see _run_frontend), so the fence cannot flatter
     timed_n = 768
 
     def make_room_data(n):
@@ -365,10 +386,13 @@ def main():
             world=synthetic.make_room(size=(14.0, 11.0, 5.0), n_boxes=10),
         )
 
-    data = _dataset("room", warm + timed_n, make_room_data)
+    # fixed 811-scan dataset (cached across batch-size changes):
+    # warm(b16)=43 + 768 timed
+    data = _dataset("room", 811, make_room_data)
+    assert warm + timed_n <= len(data.scans)
 
     mean, std, rates, ate, warmup_s = _run_frontend(
-        cfg, data, warm, timed_n, seg, "room/b16"
+        cfg, data, warm, timed_n, seg, f"room/b{sb}"
     )
 
     out = {

@@ -189,6 +189,11 @@ class GlobalMapper:
                 jnp.asarray(p), hp,
             )
             jax.block_until_ready(out[0])
+        # these are the largest compiles in the process; return the
+        # burst's freed arenas to the OS (see telemetry.trim_host_heap)
+        from ..utils.telemetry import trim_host_heap
+
+        trim_host_heap()
 
     def _by_session(self, keyframes: List) -> dict:
         sessions = {}

@@ -317,6 +317,13 @@ class SlamFrontend:
         if self.phase == "STEADY" and self.scan_batch > 1:
             self._flush_program()
         self._evict_exec()
+        # the compile burst just peaked several GB of temporary host
+        # allocations (fill/init/flush/evict programs); return the
+        # freed arenas to the OS so steady-state RSS reflects the
+        # working set, not the compile peak
+        from .utils.telemetry import trim_host_heap
+
+        trim_host_heap()
 
     def _evict_exec(self):
         """The eviction+compaction program as an AOT executable.
@@ -799,6 +806,9 @@ class VoxelSLAM:
             self._loop_warmed = True
             with self.frontend.telemetry.stage("warm_loop"):
                 self.loop.warmup()
+            from .utils.telemetry import trim_host_heap
+
+            trim_host_heap()
         # mid-term association: reload one nearby historical keyframe
         if rec is not None and self.frontend.phase == "STEADY":
             k = self.loop.nearest_loadable(rec.p)

@@ -87,6 +87,21 @@ def host_memory_gb() -> float:
     return 0.0
 
 
+def trim_host_heap() -> None:
+    """Return freed-but-retained glibc arenas to the OS
+    (malloc_trim(0), the reference's idle-time trim at
+    voxelslam.cpp:1536).  XLA/axon compiles peak several GB of
+    temporary host allocations per large program; glibc keeps those
+    arenas after free, so RSS plateaus at the compile peak instead of
+    the working set.  Call after warmup bursts, never per scan."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 def device_memory_stats() -> dict:
     """Per-device memory stats when the backend exposes them."""
     import jax
