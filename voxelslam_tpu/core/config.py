@@ -112,10 +112,16 @@ class LoopCfg:
     max_pairs_per_query: int = 16  # top side-distance matches kept
     max_cand_pairs: int = 128  # matched pairs evaluated per candidate
     # keyframe device programs allowed in flight before the oldest is
-    # resolved: 2 gives each program ~2 keyframes (~20 scans) of device
-    # time so the resolve never blocks behind the frontend's in-flight
-    # batches (loop corrections arrive one keyframe later)
-    kf_inflight: int = 2
+    # resolved.  The program itself is ~28 ms of device time
+    # (scripts/ab_kfprog.py) but executes BEHIND the frontend's
+    # pipe_depth in-flight batches (~2 x 150 ms at b16), so the
+    # resolve point must trail the dispatch by more than that queue:
+    # at 2 the full-system bench measured the resolve wait at
+    # 77-94 ms per keyframe (~8 ms/scan of host stall); 3 gives the
+    # program ~30 scans of queue drain.  Loop corrections arrive one
+    # keyframe later per step — the accept policies already tolerate
+    # that staleness (drift gates, witness holds).
+    kf_inflight: int = 3
 
 
 @dataclass(frozen=True)

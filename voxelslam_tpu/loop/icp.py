@@ -54,6 +54,7 @@ def icp_plane(
     max_iter: int = 40,
     min_match_frac: float = 0.0,
     early_exit: bool = True,
+    valid=None,  # () bool: False = placeholder candidate, do no work
 ) -> IcpResult:
     dtype = src_pts.dtype
     coarse = jnp.asarray([0.2, 0.2, 0.5, 3.0], dtype)
@@ -111,8 +112,15 @@ def icp_plane(
         return (R_new, t_new, stage, converged, nnt_new, jnp.sum(ok),
                 jnp.diagonal(H))
 
+    # an invalid (placeholder) candidate starts out "converged": under
+    # the keyframe program's vmap the while predicate is OR'd across
+    # lanes, so a keyframe whose database search returned NO candidate
+    # above threshold (the common case in steady state) runs ZERO
+    # (Q, M)-NN iterations instead of 20 lanes x max_iter against a
+    # garbage target that never converges
+    conv0 = jnp.asarray(False) if valid is None else ~valid
     init = (
-        R0, t0, jnp.int32(0), jnp.asarray(False),
+        R0, t0, jnp.int32(0), conv0,
         jnp.zeros((3, 3), dtype), jnp.zeros((), jnp.int32),
         jnp.zeros((6,), dtype),
     )
@@ -140,6 +148,8 @@ def icp_plane(
         )
     ev = eigh3.eigvals3(nnt)
     accepted = (ev[0] > icp_eigval) & converged
+    if valid is not None:
+        accepted = accepted & valid
     if min_match_frac > 0.0:
         # overlap gate: an ALIASED match (e.g. the two ends of a
         # corridor — same wall/door constellation) can be

@@ -89,6 +89,9 @@ def keyframe_program(
             db.kf_plane_c[f], db.kf_plane_n[f], db.kf_plane_v[f],
             cands.R[ci], cands.t[ci], icp_eigval=icp_eigval,
             min_match_frac=icp_min_match_frac,
+            # placeholder lanes start converged: a keyframe with no
+            # candidate above threshold pays zero ICP iterations
+            valid=cands.frame[ci] >= 0,
         )
 
     rs = jax.vmap(one)(jnp.arange(n_icp))
