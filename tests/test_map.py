@@ -453,3 +453,42 @@ def test_pvec_downsample_matches_numpy():
         kq = tuple(np.round(pm, 3))
         assert kq in got, kq
         np.testing.assert_allclose(got[kq], vm, atol=1e-4)
+
+
+def test_voxel_average_hash_matches_sort():
+    """The sort-free hash downsample (ops/downsample.voxel_average)
+    must produce the same SET of (centroid, count>0) cells as the
+    sort + segment-reduce path it replaced (voxel_average_sort) —
+    row order differs by design (table order vs hash-sorted order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from voxelslam_tpu.ops import downsample
+
+    rng = np.random.default_rng(11)
+    for N, m_out, vs in [(8192, 8192, 0.25), (1000, 1024, 0.5),
+                         (512, 512, 2.0)]:
+        pts = rng.uniform(-20, 20, (N, 3)).astype(np.float32)
+        # cluster half the points into shared cells
+        pts[N // 2:] = pts[: N - N // 2] + rng.normal(
+            0, 0.03, (N - N // 2, 3)
+        ).astype(np.float32)
+        mask = rng.random(N) > 0.1
+        a = downsample.voxel_average_sort(
+            jnp.asarray(pts), jnp.asarray(mask), vs, m_out
+        )
+        b = downsample.voxel_average_hash(
+            jnp.asarray(pts), jnp.asarray(mask), vs, m_out
+        )
+        assert int(a.n_voxels) == int(b.n_voxels)
+        pa = np.asarray(a.pts)[np.asarray(a.mask)]
+        pb = np.asarray(b.pts)[np.asarray(b.mask)]
+        ka = pa[np.lexsort(pa.T)]
+        kb = pb[np.lexsort(pb.T)]
+        assert ka.shape == kb.shape
+        np.testing.assert_allclose(ka, kb, atol=1e-5)
+    # all-invalid input: empty output, no NaNs
+    z = downsample.voxel_average_hash(
+        jnp.zeros((64, 3), jnp.float32), jnp.zeros((64,), bool), 0.5, 32
+    )
+    assert int(z.n_voxels) == 0 and not bool(np.asarray(z.mask).any())
+    assert np.isfinite(np.asarray(z.pts)).all()

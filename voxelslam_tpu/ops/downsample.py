@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..core import hashing
+from ..map import hashmap
 from . import segsum
 
 
@@ -53,10 +54,11 @@ def _segments(pts, mask, voxel_size):
     return order, seg_id, mask_s, jnp.max(seg_id) + 1
 
 
-def voxel_average(
+def voxel_average_sort(
     pts: jnp.ndarray, mask: jnp.ndarray, voxel_size, m_out: int
 ) -> Downsampled:
-    """Centroid per voxel (down_sampling_voxel semantics)."""
+    """Centroid per voxel via sort + segment-reduce (the original
+    path; kept for A/B against the hash variant below)."""
     order, seg_id, mask_s, n_seg = _segments(pts, mask, voxel_size)
     pts_s = pts[order]
     # seg ids ascend in sorted order (invalid = -1 sorted last becomes
@@ -72,6 +74,69 @@ def voxel_average(
     out_mask = cnts > 0
     out = sums / jnp.maximum(cnts, 1.0)[:, None]
     return Downsampled(out, out_mask, n_seg, None)
+
+
+def voxel_average_hash(
+    pts: jnp.ndarray, mask: jnp.ndarray, voxel_size, m_out: int,
+    *, table_mult: int = 2, max_probe: int = 32,
+) -> Downsampled:
+    """Centroid per voxel (down_sampling_voxel semantics).
+
+    Sort-free: dedupe cells with the map's contended hash insert on a
+    scratch table (hashmap.insert — scatter-min claims, duplicate
+    queries adopt the winner's slot in the same round), scatter-add
+    (Σp, n) by slot, then compact occupied slots to the padded m_out.
+    The N-point argsort + 5 gathers of the sort path were the single
+    most expensive stage of the fused steady step (forward bisect:
+    4.05 ms/scan of ~9.4 at bench shapes); the insert's while_loop
+    retires in ~probe-chain-length rounds at the scratch table's low
+    load factor.
+
+    Cell order in the output differs from the sort path (table order
+    vs hash-sorted order) — every consumer treats the rows as a
+    padded set.  Surplus cells beyond m_out are dropped either way
+    (there: hash order, here: table order), diagnosable via n_voxels.
+    """
+    N = pts.shape[0]
+    # the scratch table must hold every DISTINCT cell of the input
+    # (worst case N, not m_out: surplus cells are dropped at the
+    # compaction, but an overflowing insert would drop POINTS and
+    # blow the probe chains first); 2x keeps the load factor <= 0.5
+    S = 1 << (table_mult * N - 1).bit_length()  # pow2 (slot_of)
+    coord = hashing.voxel_coord(pts, voxel_size)
+    lvl = jnp.zeros((N,), jnp.int32)
+    keys, slot, _, _ = hashmap.insert(
+        hashmap.empty_keys(S), coord, lvl, mask, max_probe
+    )
+    ok = mask & (slot >= 0)
+    dst = jnp.where(ok, slot, S)
+    sums = jnp.zeros((S, 3), pts.dtype).at[dst].add(
+        jnp.where(ok[:, None], pts, 0.0), mode="drop"
+    )
+    cnts = jnp.zeros((S,), pts.dtype).at[dst].add(
+        ok.astype(pts.dtype), mode="drop"
+    )
+    occ = cnts > 0
+    n_seg = jnp.sum(occ)
+    # compact occupied slots into the first ≤ m_out output rows
+    idx = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    d2 = jnp.where(occ & (idx < m_out), idx, m_out)
+    out_sum = jnp.zeros((m_out, 3), pts.dtype).at[d2].set(
+        sums, mode="drop"
+    )
+    out_cnt = jnp.zeros((m_out,), pts.dtype).at[d2].set(
+        cnts, mode="drop"
+    )
+    out_mask = out_cnt > 0
+    out = out_sum / jnp.maximum(out_cnt, 1.0)[:, None]
+    return Downsampled(out, out_mask, n_seg, None)
+
+
+# default used by the steady step and keyframe program; flip only on
+# a measured TPU A/B (scripts/ab_downsample.py) — scatter-heavy
+# rewrites have LOST to the sort before (CLAUDE.md: serial-VMEM
+# Pallas scatter slower than sort+one-hot)
+voxel_average = voxel_average_sort
 
 
 def voxel_average_pvec(
