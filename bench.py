@@ -334,20 +334,55 @@ def main():
     # timing; one TPU claim at a time — the parent has not touched jax
     # yet, and waits)
     full_out = {}
+    child_wedged = False
     try:
         import subprocess
 
-        r = subprocess.run(
+        # NEVER SIGKILL a TPU child mid-claim (the remote claim wedges
+        # for 30+ min and blocks the parent's own claim): on timeout
+        # escalate SIGINT -> SIGTERM with generous grace, and if the
+        # child still won't exit, SKIP the parent's TPU phases instead
+        # of queuing behind the wedge.
+        p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--full-only"],
-            capture_output=True, text=True, timeout=3600,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        sys.stderr.write(r.stderr)
-        for line in r.stdout.splitlines():
+        stdout, stderr = "", ""
+        try:
+            stdout, stderr = p.communicate(timeout=4500)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            log("full-system child exceeded 4500s; sending SIGINT")
+            p.send_signal(signal.SIGINT)
+            try:
+                stdout, stderr = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.terminate()
+                try:
+                    stdout, stderr = p.communicate(timeout=300)
+                except subprocess.TimeoutExpired:
+                    child_wedged = True
+        sys.stderr.write(stderr)
+        for line in stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 full_out = json.loads(line)
     except Exception as e:  # pragma: no cover
         log(f"full-system child failed: {e!r}")
+
+    if child_wedged:
+        # the TPU claim is likely wedged; a parent claim would block
+        # ~25+ min and possibly hang — emit what we have and bail
+        log("full-system child wedged; skipping parent TPU phases")
+        out = {
+            "metric": "lidar_scans_per_sec_odom_lba",
+            "value": 0.0, "unit": "scans/s", "vs_baseline": 0.0,
+            "error": "full-system child wedged on TPU claim",
+        }
+        out.update(full_out)
+        print(json.dumps(out))
+        return
 
     import jax
 

@@ -130,9 +130,11 @@ def icp_plane(
         # candidates, JAX's while batching ORs the predicates and
         # select-freezes finished lanes — the batch runs to the
         # SLOWEST candidate's convergence instead of always paying
-        # max_iter (Q, M) NN matmuls per candidate.  The converged
-        # flag flips only once (converged = converged | ...), so a
-        # frozen lane's carry is exactly its fori value.
+        # max_iter (Q, M) NN matmuls per candidate.  NOT bit-exact vs
+        # early_exit=False: the fori variant keeps refining R/t past
+        # convergence while this stops at the first converged
+        # iteration — approximately equal only (post-convergence
+        # updates are below the 1e-3 convergence threshold).
 
         def w_cond(c):
             return (c[0] < max_iter) & ~c[4]

@@ -146,11 +146,15 @@ int voxel_reduce(const float* xyz, const float* offt, long n,
     // so each call touches O(uniques) slots instead of alloc+memset of
     // the whole table.  SoA layout keeps the probed keys array small
     // (8 B/slot) for cache residency on the 1-core host.
-    static int64_t* keys = nullptr;
-    static int32_t* idxs = nullptr;
-    static float* d2s = nullptr;
-    static int32_t* used = nullptr;
-    static long cap_alloc = 0, used_cap = 0;
+    // thread_local: ctypes releases the GIL during the call, so a
+    // second Python thread entering concurrently must not race on the
+    // shared table (each thread pays its own table, which is fine —
+    // production uses one packing thread).
+    static thread_local int64_t* keys = nullptr;
+    static thread_local int32_t* idxs = nullptr;
+    static thread_local float* d2s = nullptr;
+    static thread_local int32_t* used = nullptr;
+    static thread_local long cap_alloc = 0, used_cap = 0;
     const int64_t EMPTY = INT64_MIN;
     if (cap > cap_alloc) {
         delete[] keys; delete[] idxs; delete[] d2s;

@@ -28,6 +28,10 @@ class Downsampled(NamedTuple):
     mask: jnp.ndarray  # (M,)
     n_voxels: jnp.ndarray  # () true number of occupied voxels
     aux: jnp.ndarray | None  # (M, A) carried attributes (close variant)
+    # () int32 — points silently dropped BEFORE aggregation (hash-path
+    # probe-chain overflow; the sort path never drops within m_out).
+    # Zero-shaped scalar 0 for paths that cannot drop.
+    n_dropped: jnp.ndarray | None = None
 
 
 def _segments(pts, mask, voxel_size):
@@ -109,6 +113,10 @@ def voxel_average_hash(
         hashmap.empty_keys(S), coord, lvl, mask, max_probe
     )
     ok = mask & (slot >= 0)
+    # probe-overflow diagnostic: a valid point whose probe chain
+    # exceeded max_probe gets slot -1 and would otherwise vanish
+    # silently (a centroid shifts or a whole cell disappears)
+    n_dropped = jnp.sum(mask & (slot < 0)).astype(jnp.int32)
     dst = jnp.where(ok, slot, S)
     sums = jnp.zeros((S, 3), pts.dtype).at[dst].add(
         jnp.where(ok[:, None], pts, 0.0), mode="drop"
@@ -129,7 +137,7 @@ def voxel_average_hash(
     )
     out_mask = out_cnt > 0
     out = out_sum / jnp.maximum(out_cnt, 1.0)[:, None]
-    return Downsampled(out, out_mask, n_seg, None)
+    return Downsampled(out, out_mask, n_seg, None, n_dropped)
 
 
 # default used by the steady step and keyframe program; flip only on

@@ -148,20 +148,55 @@ def _problem(n_devices: int, production: bool = True):
     return pp, imu_noise, carry, inp
 
 
+def _flats(pp, inp, batch: int):
+    """(B, FLAT) packed scan batch from the dryrun problem's point
+    set: each scan re-observes the same room shifted by a small rigid
+    offset (a slowly translating sensor), so the batched program
+    exercises ESIKF tracking, BA, marginalization and the ring slide
+    across all B iterations of its lax.scan."""
+    from ..odom import pipeline as pl
+
+    base = np.asarray(inp.pts, np.float32)
+    offsets = np.asarray(inp.offsets, np.float32)
+    ni = pp.n_imu
+    dt = np.full((ni,), 0.1 / ni, np.float32)
+    gyr = np.zeros((ni, 3), np.float32)
+    acc = np.tile(np.array([0.0, 0.0, 9.8], np.float32), (ni, 1))
+    offt = np.linspace(0, 0.1, ni).astype(np.float32)
+    rng = np.random.default_rng(1)
+    flats = []
+    for b in range(batch):
+        shift = np.array([0.02 * b, 0.01 * b, 0.0], np.float32)
+        pts = base + shift
+        pts = pts + rng.normal(0, 0.002, pts.shape).astype(np.float32)
+        flats.append(
+            pl.pack_scan_flat(
+                pts, offsets, len(pts), dt, gyr, acc, offt, ni,
+                0.0, 0.1 * (b + 1), pp,
+            )
+        )
+    return np.stack(flats)
+
+
 def dryrun(n_devices: int, check_vs_single: bool = True,
            production: bool = True) -> None:
-    """Jit the FULL steady step over an n-device mesh with real
-    shardings at PRODUCTION shapes (n_ds 2048, C 2^15, W 10), run one
-    step, and (by default) assert the sharded result matches a
-    single-device run of the same step; then assert the voxel-sharded
-    window BA (`opt.li_ba(mesh=...)` — the production BA entry point)
-    matches the unsharded solve on the same harvested factors.
+    """Jit the PRODUCTION BATCHED steady program (`steady_step_batch`,
+    the program the bench actually runs at scan_batch=16) over an
+    n-device mesh with real shardings at production shapes (n_ds 2048,
+    C 2^15, W 10), run one 16-scan batch, and (by default) assert the
+    sharded result matches a single-device run of the same program;
+    then assert the voxel-sharded window BA (`opt.li_ba(mesh=...)` —
+    the production BA entry point) matches the unsharded solve on the
+    same harvested factors.
 
     Correctness dryrun for the fork-join/psum inventory of SURVEY
     §2.14 (reference fork-join pools, voxel_map.hpp:306-335): the
     point-dim sharding turns the ESIKF normal equations and the BA
     Hessian assembly into XLA psums over the mesh; equality with the
-    single-device run validates those collectives end to end.
+    single-device run validates those collectives end to end —
+    specifically for the lax.scan-batched program class that silently
+    corrupted on TPU in round 2 (CLAUDE.md) while the per-scan program
+    was fine.
     """
     from ..odom import pipeline as pl
 
@@ -169,42 +204,58 @@ def dryrun(n_devices: int, check_vs_single: bool = True,
     ext_R = jnp.eye(3, dtype=jnp.float32)
     ext_t = jnp.zeros(3, jnp.float32)
 
-    def step(carry, inp):
-        return pl.steady_step(
-            carry, inp, pp, imu_noise, ext_R, ext_t,
+    B = 16 if production else 4
+    flats = jnp.asarray(_flats(pp, inp, B))
+
+    def step_batch(carry, flats):
+        return pl.steady_step_batch(
+            carry, flats, pp, imu_noise, ext_R, ext_t,
             jnp.asarray(1.0, jnp.float32),
         )
 
     mesh = make_mesh(n_devices)
-    in_shard = (carry_shardings(mesh)(carry), scan_input_shardings(mesh))
+    rep = NamedSharding(mesh, P())
+    carry_shard = carry_shardings(mesh)(carry)
     with mesh:
-        carry_s = jax.device_put(carry, in_shard[0])
-        inp_s = jax.device_put(inp, in_shard[1])
-        fn = jax.jit(step, in_shardings=in_shard)
-        new_carry, out = fn(carry_s, inp_s)
+        carry_s = jax.device_put(carry, carry_shard)
+        flats_s = jax.device_put(flats, rep)
+        fn = jax.jit(step_batch, in_shardings=(carry_shard, rep))
+        new_carry, outs = fn(carry_s, flats_s)
         jax.block_until_ready(new_carry.x.p)
-    assert np.isfinite(np.asarray(out.x.p)).all()
+    assert np.isfinite(np.asarray(outs.x.p)).all()
+    print(f"dryrun: steady_step_batch batch{B} sharded over "
+          f"{n_devices} devices ok")
 
     if not check_vs_single:
         return
-    # Single-device reference run of the same step on device 0.
+    # Single-device reference run of the same batched program.
     dev0 = jax.devices()[0]
     carry_1 = jax.device_put(carry, dev0)
-    inp_1 = jax.device_put(inp, dev0)
-    new_carry_1, out_1 = jax.jit(step)(carry_1, inp_1)
+    flats_1 = jax.device_put(flats, dev0)
+    new_carry_1, outs_1 = jax.jit(step_batch)(carry_1, flats_1)
+    # Tolerances: the sharded psums reduce in a different order than
+    # the single-device sums, and the f32 difference COMPOUNDS through
+    # the B=16 chained scans of the batch (measured ~4e-4 m at scan
+    # 16; a single scan matches at 1e-5).  2e-3 absolute still fails
+    # loudly on the round-2 corruption class this certifies against
+    # (match_count 0, meter-scale positions).
     np.testing.assert_allclose(
-        np.asarray(out.x.p), np.asarray(out_1.x.p), atol=1e-5, rtol=1e-5
+        np.asarray(outs.x.p), np.asarray(outs_1.x.p), atol=2e-3, rtol=0
     )
     np.testing.assert_allclose(
-        np.asarray(out.x.R), np.asarray(out_1.x.R), atol=1e-5, rtol=1e-5
+        np.asarray(outs.x.R), np.asarray(outs_1.x.R), atol=2e-3, rtol=0
+    )
+    mc, mc1 = np.asarray(outs.match_count), np.asarray(outs_1.match_count)
+    assert (np.abs(mc - mc1) <= np.maximum(0.02 * mc1, 4)).all(), (
+        f"match counts diverged: {mc} vs {mc1}"
     )
     np.testing.assert_allclose(
         np.asarray(new_carry.x.p), np.asarray(new_carry_1.x.p),
-        atol=1e-5, rtol=1e-5,
+        atol=2e-3, rtol=0,
     )
     np.testing.assert_allclose(
         np.asarray(new_carry.win.xs.p), np.asarray(new_carry_1.win.xs.p),
-        atol=1e-5, rtol=1e-5,
+        atol=2e-3, rtol=0,
     )
 
     # second reduction: BA Hessian assembly sharded over VOXELS
