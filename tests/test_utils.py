@@ -115,6 +115,27 @@ class TestCloudSpill:
             atol=2e-3,  # f16 storage
         )
 
+    def test_spill_mode_precision(self, tmp_path):
+        """Adaptive-int16 mode (default) must hold ~1 mm error on a
+        60 m-range cloud where f16 degrades to 3.1 cm ulp; f32 is
+        lossless.  Guards the round-5 spill-precision audit (the
+        reference spills full-precision PCDs, voxelslam.cpp:163-174)."""
+        from voxelslam_tpu.utils import spill
+
+        rng = np.random.default_rng(3)
+        pts = (rng.uniform(-1, 1, (256, 3)) * 60.0).astype(np.float32)
+        mask = np.ones(256, bool)
+        errs = {}
+        for mode in ("i16", "f16", "f32"):
+            st = spill.CloudSpill(str(tmp_path / f"{mode}.bin"),
+                                  mode=mode)
+            back, _ = st.get(st.put(pts, mask))
+            errs[mode] = float(np.abs(back - pts).max())
+            st.close()
+        assert errs["f32"] == 0.0
+        assert errs["i16"] < 1.1e-3, errs
+        assert errs["f16"] > 5e-3, errs  # why the default moved off f16
+
     def test_scan_spill_fetch(self, tmp_path):
         from voxelslam_tpu.utils import spill
 

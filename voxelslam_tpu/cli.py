@@ -56,9 +56,14 @@ def cmd_run(args):
     from .core.config import Config, load_yaml
     from .slam import VoxelSLAM
 
+    if args.dataset is None and not getattr(args, "listen", None):
+        raise SystemExit("run: need a dataset directory or --listen ADDR")
+
     cfg = Config()
-    cfg_path = args.config or os.path.join(args.dataset, "config.yaml")
-    if os.path.exists(cfg_path):
+    cfg_path = args.config or (
+        os.path.join(args.dataset, "config.yaml") if args.dataset else ""
+    )
+    if cfg_path and os.path.exists(cfg_path):
         cfg = load_yaml(cfg_path, cfg)
         print(f"config: {cfg_path}", file=sys.stderr)
 
@@ -81,9 +86,30 @@ def cmd_run(args):
             previous_edges = edge_path
             print(f"prior edges: {edge_path}", file=sys.stderr)
 
-    imu, scan_files = _load_dataset(args.dataset)
     slam = VoxelSLAM(cfg, previous_sessions=previous,
                      previous_edges=previous_edges)
+
+    if getattr(args, "listen", None):
+        # online mode: no dataset replay — accept a live transport
+        # producer (cli play / a driver bridge) and run the streaming
+        # loop, the no-ROS equivalent of the reference's subscriber
+        # callbacks + odometry thread (voxelslam.hpp:52-103)
+        from .io import transport
+
+        print(f"listening on {args.listen}", file=sys.stderr)
+        feed, closer = transport.serve_feed(args.listen)
+        t0 = time.time()
+        try:
+            slam.run_live(feed)
+            slam.drain_live()
+        finally:
+            closer()
+        wall = time.time() - t0
+        n = len(slam.frontend.records)
+        _finish_run(args, slam, n, wall)
+        return
+
+    imu, scan_files = _load_dataset(args.dataset)
     streamer = None
     streamed = 0
     if getattr(args, "viz_stream", False) and args.out:
@@ -126,6 +152,12 @@ def cmd_run(args):
                   f"sessions={slam.frontend.session + 1} "
                   f"loops={slam.loop.n_loops_found}", file=sys.stderr)
     wall = time.time() - t0
+    _finish_run(args, slam, n, wall)
+
+
+def _finish_run(args, slam, n, wall):
+    """Shared post-run tail for replay and live modes: optional final
+    GBA, ATE scoring, summary JSON, viz export."""
 
     def _align_yaw_t(est, ref):
         """Gauge-aware alignment: global yaw + translation are
@@ -254,6 +286,18 @@ def cmd_run(args):
         print(f"viz written to {args.out}", file=sys.stderr)
 
 
+def cmd_play(args):
+    """Producer half of the live pair: frame a converted dataset onto
+    the transport socket in arrival-time order (the rosbag-play
+    counterpart, README.md:48-51)."""
+    from .io import transport
+
+    w = transport.connect(args.connect)
+    n = transport.play_dataset(args.dataset, w, rate=args.rate)
+    w.close()
+    print(f"streamed {n} scans to {args.connect}", file=sys.stderr)
+
+
 def cmd_convert_synth(args):
     from .core import synthetic
 
@@ -291,7 +335,11 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run SLAM over a dataset directory")
-    r.add_argument("dataset")
+    r.add_argument("dataset", nargs="?", default=None)
+    r.add_argument("--listen", default=None, metavar="ADDR",
+                   help="online mode: accept a live transport producer "
+                        "on a unix-socket path or host:port instead of "
+                        "replaying a dataset (pair with `cli play`)")
     r.add_argument("--config", default=None)
     r.add_argument("--out", default=None)
     r.add_argument("--viz", action="store_true")
@@ -312,6 +360,17 @@ def main(argv=None):
                    help="ground-truth npz (t, R, p): score ATE before "
                         "and (with --finish) after the final GBA")
     r.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser(
+        "play", help="stream a converted dataset to a listening "
+                     "`cli run --listen` process (live-transport pair)"
+    )
+    p.add_argument("dataset")
+    p.add_argument("--connect", required=True, metavar="ADDR",
+                   help="unix-socket path or host:port of the listener")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="pace at RATE x real time (0 = full speed)")
+    p.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("convert-synth", help="generate a synthetic dataset")
     c.add_argument("outdir")
