@@ -62,7 +62,7 @@ class TestPoseGraph:
         rng = np.random.default_rng(0)
         g, Rg, pg = self._chain_graph(rng)
         drift_before = np.linalg.norm(np.asarray(g.p) - pg, axis=1).max()
-        R, p, chi2 = posegraph.optimize(g, n_iters=10, cg_iters=60)
+        R, p, chi2, _ = posegraph.optimize(g, n_iters=10, cg_iters=60)
         drift_after = np.linalg.norm(np.asarray(p) - pg, axis=1).max()
         assert drift_after < 0.55 * drift_before
         # anchored pose unchanged
@@ -71,7 +71,7 @@ class TestPoseGraph:
     def test_perfect_edges_zero_residual(self):
         rng = np.random.default_rng(1)
         g, Rg, pg = self._chain_graph(rng, drift=0.0)
-        R, p, chi2 = posegraph.optimize(g, n_iters=5, cg_iters=40)
+        R, p, chi2, _ = posegraph.optimize(g, n_iters=5, cg_iters=40)
         assert float(chi2) < 1e-3
 
     def test_disconnected_components_each_anchored(self):
@@ -105,7 +105,7 @@ class TestPoseGraph:
             edge_valid=jnp.ones(E, bool),
             anchor=jnp.asarray(anchor),
         )
-        Ro, po, chi2 = posegraph.optimize(g, n_iters=5, cg_iters=40)
+        Ro, po, chi2, _ = posegraph.optimize(g, n_iters=5, cg_iters=40)
         po = np.asarray(po)
         assert np.isfinite(po).all()
         # both anchors held
@@ -222,7 +222,7 @@ class TestIcp:
                 w=jnp.asarray(w), edge_valid=jnp.asarray(ev),
                 anchor=jnp.asarray(np.arange(N) == 0),
             )
-            _, p, _ = posegraph.optimize(g, n_iters=5, cg_iters=60)
+            _, p, _, _ = posegraph.optimize(g, n_iters=5, cg_iters=60)
             return float(np.asarray(p)[N - 1, 1])
 
         strong = solve(1e4)  # tight noise (big information)

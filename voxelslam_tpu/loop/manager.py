@@ -1134,7 +1134,7 @@ class LoopManager:
         p_old = sess0[-1]["p"].copy() if sess0 else np.zeros(3)
         self._apply_pending_links()
         g, offsets = self._graph_arrays()
-        R, p, chi2 = posegraph.optimize(g)
+        R, p, chi2, _ = posegraph.optimize(g)
         R = np.asarray(R)
         p = np.asarray(p)
         self.n_optimizations += 1

@@ -136,7 +136,12 @@ def optimize(
     anchor_weight: float = 1e6,
     damping: float = 1e-6,
 ):
-    """Gauss–Newton with PCG inner solves.  Returns (R, p, final χ²)."""
+    """Gauss–Newton with PCG inner solves.
+
+    Returns (R, p, final χ², initial χ²) — the initial value makes
+    solver effectiveness observable at the call site (GBA-effect
+    telemetry: a finish solve whose χ² barely drops either converged
+    already or failed to move; the two need different responses)."""
     n_poses = g.R.shape[0]
     dtype = g.p.dtype
 
@@ -188,4 +193,4 @@ def optimize(
         return R, p
 
     R, p = jax.lax.fori_loop(0, n_iters, gn_iter, (g.R, g.p))
-    return R, p, chi2(R, p)
+    return R, p, chi2(R, p), chi2(g.R, g.p)
