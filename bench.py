@@ -231,8 +231,11 @@ def _full_system(out):
         loop=LoopCfg(icp_eigval=3.0, curr_halt=2),
         # b16 here: at b32 the keyframe resolves wait behind the
         # 2x-longer frontend batches (measured 42.4 vs 49.9 scans/s)
-        # and loop corrections land 2 batches = 64 scans stale
-        shapes=dataclasses.replace(cfg.shapes, scan_batch=16),
+        # and loop corrections land 2 batches = 64 scans stale.
+        # free_startup_programs: the ring has no session resets, so
+        # the FILL/init executables are pure RSS rent here (r8)
+        shapes=dataclasses.replace(cfg.shapes, scan_batch=16,
+                                   free_startup_programs=1),
         odometry=dataclasses.replace(cfg.odometry, evict_dist=200.0),
         # spill marginalized clouds: host RSS stays flat over the run
         general=dataclasses.replace(
@@ -242,12 +245,15 @@ def _full_system(out):
 
     warm = cfg.local_ba.win_size + 1 + 2 * cfg.shapes.scan_batch
     slam = VoxelSLAM(cfg)
+    rss_at["ctor"] = round(host_memory_gb(), 2)
     for sc in data.scans[:warm]:
         slam.process_scan(sc.points, sc.offsets, sc.t_begin, sc.t_end,
                           data.imu_t, data.imu_gyr, data.imu_acc)
+    rss_at["fill_steady"] = round(host_memory_gb(), 2)
     # drain: first executions of the steady programs finish pre-fence
     slam.frontend.flush()
     slam._drain()
+    rss_at["first_drain"] = round(host_memory_gb(), 2)
     # compile the HBA window + finish submap programs BEFORE the fence
     # (the first window otherwise compiles mid-stream — 80 s observed
     # on a cache miss — and the submap BA inside finish())

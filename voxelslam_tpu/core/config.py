@@ -162,6 +162,11 @@ class Shapes:
     pipe_depth: int = 1  # in-flight async steady batches (FIFO);
     #   2 hides the device's residual batch time behind host packing
     #   at the cost of one extra batch of output latency
+    free_startup_programs: int = 0  # 1: drop the FILL/init program
+    #   executables after the STEADY transition (host RSS rent);
+    #   a session reset then RECOMPILES them — persistent-cache
+    #   reload locally, potentially 100+ s on the axon remote
+    #   compile server.  Enable only when resets are tolerable.
 
 
 @dataclass(frozen=True)

@@ -317,6 +317,25 @@ class SlamFrontend:
         if self.phase == "STEADY" and self.scan_batch > 1:
             self._flush_program()
         self._evict_exec()
+        # Startup-program retirement (opt-in): the FILL/init programs
+        # run once per session; their executables + lowering artifacts
+        # pay host RSS rent for the whole run (r4 attribution: ~3 GB
+        # across the fill/flush/evict/keyframe program set).  Freeing
+        # them here means a SESSION RESET must recompile fill/init —
+        # a persistent-cache reload locally, but the axon remote
+        # compile server's cache is moody (CLAUDE.md: 104-800 s
+        # warmups observed), so this stays off unless the deployment
+        # tolerates a reset stall (the bench ring has no resets).
+        if getattr(self.cfg.shapes, "free_startup_programs", 0):
+            import voxelslam_tpu.odom.pipeline as _pl
+
+            for fn in (_pl.fill_step_flat, _pl.fill_step,
+                       _pl.init_refine):
+                try:
+                    fn.clear_cache()
+                except Exception:
+                    pass
+            self.telemetry.count("startup_programs_freed")
         # the compile burst just peaked several GB of temporary host
         # allocations (fill/init/flush/evict programs); return the
         # freed arenas to the OS so steady-state RSS reflects the
