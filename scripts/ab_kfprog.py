@@ -76,8 +76,15 @@ def main():
 
     @partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
     def prog(db, raw_pts, raw_mask, count, frame_id, session_id, *, mode):
-        ds = downsample.voxel_average(raw_pts, raw_mask, kf_ds, P)
+        dsf = (downsample.voxel_average_hash if mode == "hashds"
+               else downsample.voxel_average_sort)
+        ds = dsf(raw_pts, raw_mask, kf_ds, P)
+        if mode == "dsonly":
+            # downsample alone (plus a cheap consumer so nothing folds)
+            return db, ds.pts, ds.mask, None, None
         planes, desc = btc.extract(ds.pts, ds.mask, p)
+        if mode == "extract":
+            return db, planes.center, planes.valid, None, None
         cands = database.search_state(
             db, kf_capacity, desc, planes, frame_id, sp,
             query_session=session_id,
@@ -109,17 +116,21 @@ def main():
         outs = prog(db, raw, msk, np.int32(0), np.int32(0), np.int32(0),
                     mode=mode)
         db = outs[0]
-        jax.device_get(outs[3].frame)
+        jax.device_get(outs[2] if outs[3] is None else outs[3].frame)
         t0 = time.time()
         for i in range(1, reps + 1):
             outs = prog(db, raw, msk, np.int32(i * T), np.int32(i),
                         np.int32(0), mode=mode)
             db = outs[0]
         # db chains the reps; fetch the last outputs like the manager
-        got = jax.device_get(outs[1:4] if outs[4] is None else outs[1:])
+        if outs[3] is None:
+            got = jax.device_get(outs[1:3])
+            nval = -1
+        else:
+            got = jax.device_get(outs[1:4] if outs[4] is None
+                                 else outs[1:])
+            nval = int((np.asarray(got[2].frame) >= 0).sum())
         dt = (time.time() - t0) / reps * 1000.0
-        nval = int((np.asarray(got[2].frame if outs[4] is None
-                               else got[2].frame) >= 0).sum())
         log(f"[{mode:8s}] {dt:7.2f} ms/keyframe  (valid cands last rep:"
             f" {nval})")
         return dt
@@ -127,9 +138,12 @@ def main():
     import jax as _j
     log(f"device: {_j.devices()[0].platform} {_j.devices()[0].device_kind}")
     results = {}
+    modes = ("dsonly", "extract", "noicp", "gated", "hashds")
+    if "--full" in sys.argv:
+        modes = modes + ("ungated",)
     # two alternating passes to expose tunnel drift
     for rnd in range(2):
-        for mode in ("noicp", "gated", "ungated"):
+        for mode in modes:
             results.setdefault(mode, []).append(run(mode))
     for mode, ts in results.items():
         log(f"{mode}: " + ", ".join(f"{t:.1f}" for t in ts)

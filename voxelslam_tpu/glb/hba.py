@@ -326,6 +326,7 @@ class GlobalMapper:
             dict(R0=base_R, p0=base_p,
                  cloud=np.concatenate(cloud).astype(np.float32),
                  first=kfs[0].id,
+                 members=[k.id for k in kfs],
                  scan=(kfs[0].session, kfs[0].first_scan))
         )
         return 1
@@ -344,10 +345,33 @@ class GlobalMapper:
         if len(subs) < 2:
             return []
         if keyframes is not None:
+            # REBUILD each submap cloud from its member keyframes'
+            # CURRENT poses, not just refresh the base pose: the merged
+            # cloud was baked with the bottom-up poses of its build
+            # time, so after PGO corrections its internal geometry
+            # carries the then-unclosed drift across ~win keyframes —
+            # the submap BA then aligns internally-warped shapes and
+            # its edges DEGRADE the final solve (measured on the
+            # drifted ring, scripts/diag_gba.py: keyframe edges alone
+            # 0.0071 m ATE, + stale-submap edges 0.0093).
             for sm in subs:
                 k = keyframes[sm["first"]]
-                sm["R0"] = np.asarray(k.R0, np.float32)
-                sm["p0"] = np.asarray(k.p0, np.float32)
+                Rb = np.asarray(k.R0, np.float32)
+                pb = np.asarray(k.p0, np.float32)
+                sm["R0"], sm["p0"] = Rb, pb
+                mem = sm.get("members")
+                if mem:
+                    clouds = []
+                    for mid in mem:
+                        km_ = keyframes[mid]
+                        kc, kmask = km_.get_cloud()
+                        pw = kc[kmask] @ np.asarray(
+                            km_.R0, np.float32
+                        ).T + np.asarray(km_.p0, np.float32)
+                        clouds.append((pw - pb) @ Rb)
+                    sm["cloud"] = np.concatenate(clouds).astype(
+                        np.float32
+                    )
         if len(subs) > max_submaps:
             # merge ADJACENT same-session submaps into ≤ max_submaps
             # buckets (keeps full trajectory coverage; plain strided
