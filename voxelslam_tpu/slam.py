@@ -994,8 +994,29 @@ class VoxelSLAM:
             # bottom-up ran continuously during the session; finish
             # only drains the leftover windows (O(1) in trajectory)
             self.gmap.bottom_up_drain(kfs)
-            # second hierarchy level over submaps (gba_edges2), base
-            # poses refreshed in case PGO moved keyframes since
+            # TWO-STAGE finish (measured on the drifted ring,
+            # scripts/diag_gba.py): submap clouds merged from
+            # UNCORRECTED poses bake the then-unclosed drift into
+            # their internal geometry, and the submap-level BA then
+            # aligns warped shapes — its edges DEGRADED the one-shot
+            # solve (gba1-only 0.0071 m vs gba1+stale-gba2 0.0093).
+            # Stage 1: solve with sequential + loop + keyframe-window
+            # hessian edges and write back, so keyframe poses are
+            # loop-consistent; Stage 2: REBUILD submap clouds from
+            # those corrected poses (submap_level(keyframes=...)),
+            # run the submap BA, and solve once more with all edges
+            # (topDownProcess order, voxelslam.cpp:2231-2317 — the
+            # reference's submaps are likewise built from already
+            # ISAM2-corrected poses when mid-run solves fired).
+            if self.gmap.edges:
+                g1, off1 = self.loop._graph_arrays(
+                    extra_edges=self.gmap.edges
+                )
+                R1, p1, _, _ = posegraph.optimize(
+                    g1, n_iters=16, cg_iters=256
+                )
+                self.loop.write_back(np.asarray(R1), np.asarray(p1),
+                                     off1)
             edges2 = self.gmap.submap_level(
                 keyframes=kfs,
                 max_submaps=self.cfg.gba.max_submaps,
