@@ -6,13 +6,17 @@ The full-system bench attributes ~9 ms/scan (~90 ms per keyframe at a
 program so the deltas are trustworthy (cross-process tunnel timing
 varies ~2x, CLAUDE.md):
 
-  noicp   — downsample + BTC extract + database search + db append
+  exact   — downsample + extract + search (exact top_k) + db append
+  noicp   — same but stage-1 pair selection via lax.approx_max_k
+            (the production default; the exact (Q, D=2^17) row sort
+            was the most expensive op of the program)
   gated   — + vmapped ICP verify with the placeholder-lane gate
             (invalid candidates start converged; zero iterations when
             the search returns nothing above threshold — the common
             steady-state case)
-  ungated — + vmapped ICP verify without the gate (every placeholder
-            lane grinds to max_iter against a garbage target)
+  --full adds: dsonly (downsample only), extract (+BTC extract),
+  hashds (hash-probe downsample variant), ungated (ICP without the
+  placeholder gate — every lane grinds to max_iter)
 
 All reps use same-session frame ids within skip_near_num so the
 search returns NO candidates — exactly the steady-state case the
@@ -49,13 +53,17 @@ def main():
     # ---- production params (mirrors slam.py VoxelSLAM + bench ring cfg)
     lc = LoopCfg(icp_eigval=3.0, curr_halt=2)
     p = btc.BtcParams()._replace(n_proj=4)
-    sp = database.SearchParams(
+    sp_base = database.SearchParams(
         icp_threshold=lc.jud_default * 0.3,
         skip_near_num=lc.skip_near_num,
         candidate_num=lc.candidate_num,
         max_pairs_per_query=lc.max_pairs_per_query,
         max_cand_pairs=lc.max_cand_pairs,
     )
+    # "exact" mode pins the stage-1 pair selection to the full sort so
+    # the approx_max_k win is measured in-process
+    sp = sp_base._replace(approx_topk_recall=lc.approx_topk_recall)
+    sp_exact = sp_base._replace(approx_topk_recall=1.0)
     db_capacity, kf_capacity = 1 << 17, 2048
     n_icp = sp.candidate_num
     P = 16384
@@ -86,13 +94,14 @@ def main():
         if mode == "extract":
             return db, planes.center, planes.valid, None, None
         cands = database.search_state(
-            db, kf_capacity, desc, planes, frame_id, sp,
+            db, kf_capacity, desc, planes, frame_id,
+            sp_exact if mode == "exact" else sp,
             query_session=session_id,
         )
         new_db = database.add_state(
             db, desc, planes, count, frame_id, session_id
         )
-        if mode == "noicp":
+        if mode in ("noicp", "exact"):
             return new_db, ds.pts, ds.mask, cands, None
 
         def one(ci):
@@ -138,9 +147,9 @@ def main():
     import jax as _j
     log(f"device: {_j.devices()[0].platform} {_j.devices()[0].device_kind}")
     results = {}
-    modes = ("dsonly", "extract", "noicp", "gated", "hashds")
+    modes = ("exact", "noicp", "gated")
     if "--full" in sys.argv:
-        modes = modes + ("ungated",)
+        modes = ("dsonly", "extract", "hashds") + modes + ("ungated",)
     # two alternating passes to expose tunnel drift
     for rnd in range(2):
         for mode in modes:

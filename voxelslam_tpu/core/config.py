@@ -111,6 +111,9 @@ class LoopCfg:
     candidate_num: int = 20  # candidate frames verified per query
     max_pairs_per_query: int = 16  # top side-distance matches kept
     max_cand_pairs: int = 128  # matched pairs evaluated per candidate
+    # recall target of the stage-1 approximate top-k pair selection
+    # (1.0 = exact sort; see database.SearchParams.approx_topk_recall)
+    approx_topk_recall: float = 0.95
     # keyframe device programs allowed in flight before the oldest is
     # resolved.  The program itself is ~28 ms of device time
     # (scripts/ab_kfprog.py) but executes BEHIND the frontend's

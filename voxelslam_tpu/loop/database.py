@@ -47,6 +47,13 @@ class SearchParams(NamedTuple):
     ransac_inlier_dist: float = 3.0
     max_pairs_per_query: int = 8  # top side-distance matches kept per query
     max_cand_pairs: int = 64  # matched pairs evaluated per candidate frame
+    # stage-1 pair selection: recall target for the TPU-native
+    # approximate top-k (lax.approx_max_k lowers to a one-pass
+    # PartialReduce on TPU; exact top_k sorts the full (Q, D) row and
+    # dominated the keyframe program at D=2^17 — scripts/ab_kfprog.py).
+    # 1.0 = exact.  On CPU approx_max_k falls back to exact, so tests
+    # see identical candidate sets either way.
+    approx_topk_recall: float = 0.95
 
 
 class DbState(NamedTuple):
@@ -226,9 +233,20 @@ def search_state(
         & (d2 < (thr * thr)[:, None])
     )
     d2m = jnp.where(ok, d2, jnp.inf)
-    # keep top P pairs per query
+    # keep top P pairs per query.  The exact top_k sorts each
+    # (D=capacity) row and was the single most expensive op of the
+    # keyframe program (database search+add ~19 of its ~28 ms,
+    # scripts/ab_kfprog.py); the vote/verify stages tolerate a few
+    # missed pairs, so the approximate reduction is the right trade
+    # (the reference's hash-bucket SearchLoop, BTC.cpp:205-256, is
+    # itself a recall<1 shortcut over all-pairs).
     P = sp.max_pairs_per_query
-    nd2, pidx = jax.lax.top_k(-d2m, P)  # (Q, P)
+    if sp.approx_topk_recall < 1.0:
+        nd2, pidx = jax.lax.approx_max_k(
+            -d2m, P, recall_target=float(sp.approx_topk_recall)
+        )
+    else:
+        nd2, pidx = jax.lax.top_k(-d2m, P)  # (Q, P)
     pair_ok = jnp.isfinite(-nd2)
 
     # stage 2: binary similarity on kept pairs

@@ -727,6 +727,7 @@ class VoxelSLAM:
                 candidate_num=cfg.loop.candidate_num,
                 max_pairs_per_query=cfg.loop.max_pairs_per_query,
                 max_cand_pairs=cfg.loop.max_cand_pairs,
+                approx_topk_recall=cfg.loop.approx_topk_recall,
             ),
             win_size=cfg.local_ba.win_size,
             kf_downsample=cfg.odometry.voxel_size / 10.0,
