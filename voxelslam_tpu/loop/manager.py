@@ -26,7 +26,6 @@ offline maps works (SURVEY.md §2.11).
 
 from __future__ import annotations
 
-import threading
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional
@@ -594,30 +593,7 @@ class LoopManager:
         self.db.state = new_db
         self.db.count += T
         self.db.n_kf = max(self.db.n_kf, kf.id + 1)
-        # Prefetch thread: start the device->host transfer NOW so the
-        # resolve point only joins it.  The tunneled device charges a
-        # ~30 ms round-trip per device_get on the CRITICAL PATH
-        # (measured: the resolve wait stayed ~30 ms above the
-        # program's device time at any kf_inflight depth); a daemon
-        # thread blocked in device_get releases the GIL, so the
-        # steady-scan pack/dispatch work between keyframes hides it.
-        # Deterministic by construction — identical results are
-        # consumed at identical points, only the wait moves off the
-        # main thread (cf. the reference's loop thread never blocking
-        # odometry, voxelslam.cpp:2617-2619).
-        entry = {"kf": kf, "outs": (ds_pts, ds_mask, cands_d, rs_d),
-                 "result": None, "err": None}
-
-        def _prefetch(e=entry):
-            try:
-                e["result"] = jax.device_get(e["outs"])
-            except BaseException as ex:  # re-raised at the resolve point
-                e["err"] = ex
-
-        th = threading.Thread(target=_prefetch, daemon=True)
-        entry["thread"] = th
-        th.start()
-        self._kf_queue.append(entry)
+        self._kf_queue.append((kf, (ds_pts, ds_mask, cands_d, rs_d)))
 
     def _resolve_keyframe(self) -> Optional[dict]:
         """Fold the in-flight keyframe's results: accept/edge policies
@@ -625,15 +601,10 @@ class LoopManager:
         from flush_pending() (PGO assembly / finish)."""
         if not self._kf_queue:
             return None
-        entry = self._kf_queue.pop(0)
-        kf = entry["kf"]
-        # one transfer for everything the host decides on — started by
-        # the prefetch thread at dispatch; this only joins it
+        kf, outs = self._kf_queue.pop(0)
+        # one transfer for everything the host decides on
         with self.telemetry.stage("kf_resolve"):
-            entry["thread"].join()
-            if entry["err"] is not None:
-                raise entry["err"]
-            ds_pts, ds_mask, cands, rs = entry["result"]
+            ds_pts, ds_mask, cands, rs = jax.device_get(outs)
         kf.cloud = np.asarray(ds_pts)
         kf.cloud_mask = np.asarray(ds_mask)
         if self.replay_mode:
