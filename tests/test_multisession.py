@@ -188,11 +188,22 @@ class _NoGba:
     edges: list = []
     submaps: list = []
 
+    fe_seq = None
+
     def bottom_up_incremental(self, kfs):
         return 0
 
     def _resolve_pending(self):
         return 0
+
+    def resolve_ready(self):
+        return 0
+
+    def co_query(self, seq):
+        return None
+
+    def co_deliver(self, host):
+        pass
 
     def bottom_up_drain(self, kfs):
         pass

@@ -115,16 +115,24 @@ class LoopCfg:
     # (1.0 = exact sort; see database.SearchParams.approx_topk_recall)
     approx_topk_recall: float = 0.95
     # keyframe device programs allowed in flight before the oldest is
-    # resolved.  The program itself is ~28 ms of device time
-    # (scripts/ab_kfprog.py) but executes BEHIND the frontend's
-    # pipe_depth in-flight batches (~2 x 150 ms at b16), so the
-    # resolve point must trail the dispatch by more than that queue:
-    # at 2 the full-system bench measured the resolve wait at
-    # 77-94 ms per keyframe (~8 ms/scan of host stall); 3 gives the
-    # program ~30 scans of queue drain.  Loop corrections arrive one
-    # keyframe later per step — the accept policies already tolerate
-    # that staleness (drift gates, witness holds).
-    kf_inflight: int = 3
+    # FORCE-resolved with its own device_get.  With co-resolve (the
+    # outputs ride the frontend's batch device_get once a later batch
+    # resolves — LoopManager.co_query) the force path is a fallback
+    # only: at b16/pipe_depth 2 a keyframe becomes co-resolvable
+    # ~kf_co_lag+2 batch iterations (~32-48 scans ≈ 4-5 keyframes at
+    # win_size 10) after dispatch, so the cap must exceed that or the
+    # fallback RPC (~30-50 ms tunnel round-trip each) fires anyway.
+    # Loop events still FOLD as soon as outputs land on the host
+    # (resolve_ready in _drain), so raising the cap does not delay
+    # corrections beyond the co-resolve point itself.
+    kf_inflight: int = 8
+    # co-resolve barrier offset: 1 = ride the first batch dispatched
+    # AFTER the keyframe program (program guaranteed finished, zero
+    # added wait); 0 = ride the barrier batch itself (the get also
+    # waits for the keyframe program's ~20-30 ms execution — device
+    # time a later resolve would absorb anyway; events one batch
+    # fresher).
+    kf_co_lag: int = 1
 
 
 @dataclass(frozen=True)

@@ -152,12 +152,19 @@ class GlobalMapper:
         self.edges: List[dict] = []  # gba_edges1: keyframe-level
         self.submaps: List[dict] = []  # merged submap clouds + poses
         self._next_start: dict = {}  # per-session window cursor
-        # in-flight window BA: (kfs snapshot, device result futures).
+        # in-flight window BA: [kfs snapshot, device result futures,
+        # barrier_seq|None, host_results|None].
         # Dispatch-and-defer — blocking on each window's result stalls
         # the whole async frontend pipeline for the device time of the
         # BA; resolving one call later lets it overlap the steady
-        # batches already in the dispatch queue.
+        # batches already in the dispatch queue.  With co-resolve
+        # wired (fe_seq set by VoxelSLAM), the results additionally
+        # ride the frontend's batch device_get in the SAME tunnel RPC
+        # once a batch dispatched after this window resolves — same
+        # protocol as LoopManager.co_query.
         self._pending = None
+        self.fe_seq = None
+        self.co_resolve_lag = 1
 
     def warmup(self, submap: Optional[tuple] = None) -> None:
         """Compile `window_ba` at production shapes off the hot path.
@@ -290,18 +297,47 @@ class GlobalMapper:
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(p), hp,
         )
-        self._pending = (list(kfs), out)
+        barrier = self.fe_seq() if self.fe_seq is not None else None
+        self._pending = [list(kfs), out, barrier, None]
+
+    # co-resolve protocol (see LoopManager.co_query/co_deliver)
+    def co_query(self, resolved_seq: int):
+        e = self._pending
+        if (
+            e is None or e[3] is not None or e[2] is None
+            or resolved_seq < e[2] + self.co_resolve_lag
+        ):
+            return None
+        R2, p2, edges, _n = e[1]
+        self._co_requested = e
+        return (R2, p2, edges)
+
+    def co_deliver(self, host) -> None:
+        e = getattr(self, "_co_requested", None)
+        if e is not None:
+            e[3] = host
+            self._co_requested = None
+
+    def resolve_ready(self) -> int:
+        """Fold the in-flight window iff its results already sit on
+        the host (co-resolved) — free."""
+        if self._pending is not None and self._pending[3] is not None:
+            return self._resolve_pending()
+        return 0
 
     def _resolve_pending(self) -> int:
         """Fold the in-flight window's results into edges/submaps."""
         if self._pending is None:
             return 0
-        kfs, (R2, p2, edges, n_fact) = self._pending
+        kfs, (R2, p2, edges, n_fact), _barrier, host = self._pending
         self._pending = None
         W = len(kfs)
         # ONE transfer (element-indexing device arrays in the loop
-        # below costs a tunnel round-trip per element on axon)
-        R2, p2, edges = jax.device_get((R2, p2, edges))
+        # below costs a tunnel round-trip per element on axon) — or
+        # zero, when the results already rode a batch resolve
+        if host is None:
+            host = jax.device_get((R2, p2, edges))
+        R2, p2, edges = host
         ev = edges.valid
         for e in range(len(ev)):
             i, j = int(edges.ei[e]), int(edges.ej[e])

@@ -286,7 +286,30 @@ class LoopManager:
         # pure transfer.  Loop corrections arrive one keyframe later —
         # the same staleness the async writeback already tolerates.
         self.kf_inflight = max(1, int(kf_inflight))
-        self._kf_queue: List[tuple] = []
+        # Each entry: [kf, device_outs, barrier_seq|None, host_outs|None].
+        # `barrier_seq` is the frontend's newest dispatched-batch seq at
+        # keyframe-dispatch time: the device executes programs in
+        # dispatch order, so once any batch with seq > barrier_seq has
+        # RESOLVED, this keyframe program is certainly finished and its
+        # outputs can ride the SAME jax.device_get as that batch
+        # (co-resolve) — one tunnel round-trip instead of a separate
+        # ~30-50 ms RPC per keyframe (the dominant full-system host
+        # cost, BENCH_r04 kf_resolve 55.6 ms).  A prefetch THREAD was
+        # tried and reverted (commit 5149a32): the tunnel transport
+        # serializes a second thread's device_get against the steady
+        # resolve stream.  Riding the one existing RPC avoids that.
+        self._kf_queue: List[list] = []
+        # co-resolve wiring (set by VoxelSLAM): callable returning the
+        # frontend's newest dispatch seq.  None = standalone manager,
+        # every resolve falls back to its own device_get.
+        self.fe_seq = None
+        # lag=1: co-resolve with the first batch dispatched AFTER the
+        # keyframe program (guaranteed done, zero added wait).  lag=0:
+        # ride the barrier batch itself — the get additionally waits
+        # for the keyframe program's own execution (~20 ms device time
+        # that a later resolve would absorb anyway); fresher events.
+        self.co_resolve_lag = 1
+        self._co_requested: List[list] = []
         self._last_kf_pose: Optional[tuple] = None
         self.n_loops_found = 0
         self.n_optimizations = 0
@@ -340,11 +363,17 @@ class LoopManager:
             e = self._resolve_keyframe()
             if e is not None:
                 events.append(e)
+        return self._compose_events(events)
+
+    @staticmethod
+    def _compose_events(events: List[dict]) -> Optional[dict]:
+        """Compose dx_2 ∘ dx_1 (applied left to right on frontend
+        poses); later events already operate on manager poses corrected
+        by earlier ones."""
         if not events:
             return None
         if len(events) == 1:
             return events[0]
-        # compose dx_2 ∘ dx_1 (applied left to right on frontend poses)
         import numpy as _np
 
         R = _np.asarray(events[0]["dx_R"], _np.float32)
@@ -356,6 +385,39 @@ class LoopManager:
         out = dict(events[-1])
         out["dx_R"], out["dx_p"] = R, p
         return out
+
+    # ------------------------------------------------------ co-resolve
+
+    def co_query(self, resolved_seq: int):
+        """Called by the frontend JUST BEFORE its batch device_get:
+        return the device outputs of every in-flight keyframe whose
+        program is covered by the batch being resolved (see _kf_queue
+        comment), so they transfer in the same RPC.  None when nothing
+        qualifies (the common non-keyframe batch)."""
+        ready = [
+            e for e in self._kf_queue
+            if e[3] is None and e[2] is not None
+            and resolved_seq >= e[2] + self.co_resolve_lag
+        ]
+        self._co_requested = ready
+        return [e[1] for e in ready] or None
+
+    def co_deliver(self, host_outs) -> None:
+        """Frontend hands back the host values fetched by co_query."""
+        for e, h in zip(self._co_requested, host_outs):
+            e[3] = h
+        self._co_requested = []
+
+    def resolve_ready(self) -> Optional[dict]:
+        """Fold every keyframe whose outputs already sit on the host
+        (co-resolved) — free, and fresher than waiting for the next
+        keyframe build.  Returns the composed loop event, if any."""
+        events = []
+        while self._kf_queue and self._kf_queue[0][3] is not None:
+            e = self._resolve_keyframe()
+            if e is not None:
+                events.append(e)
+        return self._compose_events(events)
 
     def install_prior_edges(self, edges: List[dict]) -> int:
         """Install inter-session loop edges loaded from a saved
@@ -484,17 +546,24 @@ class LoopManager:
         with self.telemetry.stage("kf_build"):
             kf, raw_pts, raw_mask = self._build_keyframe(self._pending)
         self._pending = []
-        # dispatch-and-defer: resolve the OLDEST in-flight keyframe
-        # only once `kf_inflight` programs are outstanding (see
-        # __init__), then dispatch this one.  Resolving immediately
-        # would block on the frontend batch dispatched just before
-        # this drain (~a full batch of device time per keyframe).
-        event = None
+        # dispatch-and-defer: fold keyframes whose outputs were already
+        # co-resolved (free — they rode a batch device_get), then, only
+        # if `kf_inflight` programs are still outstanding, force-resolve
+        # the oldest with its own device_get (the pre-co-resolve
+        # behavior; resolving immediately would block on the frontend
+        # batch dispatched just before this drain).
+        events = []
+        while self._kf_queue and self._kf_queue[0][3] is not None:
+            e = self._resolve_keyframe()
+            if e is not None:
+                events.append(e)
         if len(self._kf_queue) >= self.kf_inflight:
-            event = self._resolve_keyframe()
+            e = self._resolve_keyframe()
+            if e is not None:
+                events.append(e)
         with self.telemetry.stage("kf_dispatch"):
             self._dispatch_keyframe(kf, raw_pts, raw_mask)
-        return event
+        return self._compose_events(events)
 
     # --------------------------------------------------------- keyframes
 
@@ -593,7 +662,10 @@ class LoopManager:
         self.db.state = new_db
         self.db.count += T
         self.db.n_kf = max(self.db.n_kf, kf.id + 1)
-        self._kf_queue.append((kf, (ds_pts, ds_mask, cands_d, rs_d)))
+        barrier = self.fe_seq() if self.fe_seq is not None else None
+        self._kf_queue.append(
+            [kf, (ds_pts, ds_mask, cands_d, rs_d), barrier, None]
+        )
 
     def _resolve_keyframe(self) -> Optional[dict]:
         """Fold the in-flight keyframe's results: accept/edge policies
@@ -601,10 +673,13 @@ class LoopManager:
         from flush_pending() (PGO assembly / finish)."""
         if not self._kf_queue:
             return None
-        kf, outs = self._kf_queue.pop(0)
-        # one transfer for everything the host decides on
+        kf, outs, _barrier, host = self._kf_queue.pop(0)
+        # one transfer for everything the host decides on — or zero,
+        # when the outputs already rode a batch resolve (co_query)
         with self.telemetry.stage("kf_resolve"):
-            ds_pts, ds_mask, cands, rs = jax.device_get(outs)
+            if host is None:
+                host = jax.device_get(outs)
+            ds_pts, ds_mask, cands, rs = host
         kf.cloud = np.asarray(ds_pts)
         kf.cloud_mask = np.asarray(ds_mask)
         if self.replay_mode:

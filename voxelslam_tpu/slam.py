@@ -123,7 +123,13 @@ class SlamFrontend:
         self.telemetry = Telemetry()
         self.g_update = False  # one-shot gravity refresh in the next
         #                        window BA (g_update=2 protocol)
-        self._pending = []  # FIFO of in-flight async steady batches
+        # FIFO of in-flight async steady batches: (seq, outs, t_ends)
+        self._pending = []
+        self.dispatch_seq = 0  # monotonically increasing dispatch id
+        # optional co-resolver (duck-typed: co_query(seq)/co_deliver):
+        # extra device outputs that ride this frontend's batch
+        # device_get in the SAME tunnel RPC (see LoopManager co_query)
+        self.co_resolver = None
         self.pipe_depth = max(1, getattr(sh, "pipe_depth", 1))
         self._fill_count = 0
         self.scan_batch = max(int(getattr(c.shapes, "scan_batch", 1)), 1)
@@ -210,9 +216,17 @@ class SlamFrontend:
         (~80 ms/batch measured on the tunneled device)."""
         if not self._pending:
             return None
-        outs, t_ends = self._pending.pop(0)
+        seq, outs, t_ends = self._pending.pop(0)
+        extras = (
+            self.co_resolver.co_query(seq)
+            if self.co_resolver is not None else None
+        )
         with self.telemetry.stage("resolve"):
-            outs = jax.device_get(outs)
+            if extras:
+                outs, host_extras = jax.device_get((outs, extras))
+                self.co_resolver.co_deliver(host_extras)
+            else:
+                outs = jax.device_get(outs)
         rec = None
         B = len(t_ends)
         for b in range(B):
@@ -284,8 +298,10 @@ class SlamFrontend:
                     self.carry, jnp.asarray(flat), self.imu_noise,
                     self.ext_R, self.ext_t, self.scale_gravity,
                 )
+                self.dispatch_seq += 1
                 self._pending.append(
-                    (jax.tree.map(lambda a: a[None], out), [t_end])
+                    (self.dispatch_seq,
+                     jax.tree.map(lambda a: a[None], out), [t_end])
                 )
                 rec = self._resolve_pending() or rec
         return rec
@@ -487,7 +503,8 @@ class SlamFrontend:
         # execution behind it, so the wait is ~zero; a session reset
         # fired while draining clears the queue (dead-session batches)
         # and the loop condition re-checks it
-        self._pending.append((out, t_ends))
+        self.dispatch_seq += 1
+        self._pending.append((self.dispatch_seq, out, t_ends))
         while len(self._pending) > self.pipe_depth:
             rec_prev = self._resolve_pending() or rec_prev
 
@@ -692,6 +709,29 @@ class SlamFrontend:
         return ts, Rs, ps
 
 
+class _CoResolveFanout:
+    """Aggregate several co-resolve providers (LoopManager, GlobalMapper)
+    behind the SlamFrontend's single co_resolver hook: their pending
+    device outputs all ride the one batch device_get RPC."""
+
+    def __init__(self, *providers):
+        self.providers = providers
+        self._queries = None
+
+    def co_query(self, resolved_seq: int):
+        self._queries = [p.co_query(resolved_seq) for p in self.providers]
+        if not any(q is not None for q in self._queries):
+            self._queries = None
+            return None
+        return self._queries
+
+    def co_deliver(self, host) -> None:
+        for p, q, h in zip(self.providers, self._queries, host):
+            if q is not None:
+                p.co_deliver(h)
+        self._queries = None
+
+
 class VoxelSLAM:
     """Complete system: odometry front-end + loop closure + global
     mapping + session persistence — the counterpart of the reference's
@@ -744,12 +784,22 @@ class VoxelSLAM:
         # one telemetry table for the whole system (loop sub-stages
         # land next to the frontend's)
         self.loop.telemetry = self.frontend.telemetry
+        # keyframe-program and HBA-window outputs ride the frontend's
+        # batch device_get (one tunnel RPC) instead of paying their own
+        # ~30-50 ms round-trip each (see LoopManager co_query; the
+        # prefetch-THREAD alternative was tried and reverted, commit
+        # 5149a32 — the tunnel transport serializes a second thread's
+        # device_get against the steady resolve stream)
+        self.loop.fe_seq = lambda: self.frontend.dispatch_seq
+        self.loop.co_resolve_lag = cfg.loop.kf_co_lag
         self.gmap = hba.GlobalMapper(hba.default_params(
             gba_voxel=cfg.gba.voxel_size,
             gba_min_eigen=cfg.gba.min_eigen_value,
             odo_voxel=cfg.odometry.voxel_size,
             odo_min_eigen=cfg.odometry.min_eigen_value,
         ))
+        self.gmap.fe_seq = self.loop.fe_seq
+        self.frontend.co_resolver = _CoResolveFanout(self.loop, self.gmap)
         self._drained = 0
         self._last_session = 0
         self._loop_warmed = False
@@ -872,6 +922,11 @@ class VoxelSLAM:
             self._last_session = self.frontend.session
             self.loop.new_session()
             self._drained = len(self.frontend.scan_poses)
+        # fold keyframes whose outputs already rode a batch resolve —
+        # free, and their loop corrections land as fresh as possible
+        with self.frontend.telemetry.stage("loop"):
+            ready = self.loop.resolve_ready()
+        self._handle_loop_event(ready)
         # drain marginalized ScanPoses to the loop layer
         while self._drained < len(self.frontend.scan_poses):
             sp = self.frontend.scan_poses[self._drained]
@@ -887,7 +942,9 @@ class VoxelSLAM:
         # throughout the session, voxelslam.cpp:2485-2595, so finish
         # only drains leftovers)
         with self.frontend.telemetry.stage("gba_window"):
-            n = self.gmap.bottom_up_incremental(self.loop.keyframes)
+            # fold a co-resolved window first (host-side already, free)
+            n = self.gmap.resolve_ready()
+            n += self.gmap.bottom_up_incremental(self.loop.keyframes)
             if final:  # resolve the window dispatched just above
                 n += self.gmap._resolve_pending()
             if n:
