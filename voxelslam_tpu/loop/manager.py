@@ -406,6 +406,8 @@ class LoopManager:
         """Frontend hands back the host values fetched by co_query."""
         for e, h in zip(self._co_requested, host_outs):
             e[3] = h
+        if self._co_requested:
+            self.telemetry.count("kf_coresolved", len(self._co_requested))
         self._co_requested = []
 
     def resolve_ready(self) -> Optional[dict]:

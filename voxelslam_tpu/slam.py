@@ -333,6 +333,14 @@ class SlamFrontend:
         if self.phase == "STEADY" and self.scan_batch > 1:
             self._flush_program()
         self._evict_exec()
+        # the eviction's slot-remap helpers are separate tiny jits —
+        # compile them here too, or the FIRST eviction pays a mid-
+        # stream remote compile (the moody axon compile server makes
+        # even trivial programs cost seconds; evict max 2.2 s observed)
+        C1 = self.carry.vmap.keys.shape[0] + 1
+        dst = jnp.zeros((C1,), jnp.int32)
+        _remap_slots(dst, self.carry.win.slot)
+        _remap_touch(dst, self.carry.rr_touch)
         # Startup-program retirement (opt-in): the FILL/init programs
         # run once per session; their executables + lowering artifacts
         # pay host RSS rent for the whole run (r4 attribution: ~3 GB
@@ -876,6 +884,7 @@ class VoxelSLAM:
             self._loop_warmed = True
             with self.frontend.telemetry.stage("warm_loop"):
                 self.loop.warmup()
+                self._warm_event_programs()
             from .utils.telemetry import trim_host_heap
 
             trim_host_heap()
@@ -891,6 +900,32 @@ class VoxelSLAM:
                 self.frontend.telemetry.count("midterm_loads")
         self._drain()
         return rec
+
+    def _warm_event_programs(self):
+        """Compile the loop-EVENT device programs (post-PGO map swap,
+        mid-term fixed-keyframe insertion) at the STEADY transition.
+        Both otherwise compile at the FIRST loop event / revisit —
+        mid-stream, where a moody remote compile can stall the run for
+        minutes (measured: a first-instance full-system run lost 134 s
+        of its timed window to exactly these compiles while a second
+        instance in the same process ran clean).  Both programs are
+        functional (carry in → carry out), so warming executes them on
+        the live carry and DISCARDS the result."""
+        fe = self.frontend
+        P = self.loop.kf_max_points
+        eye = jnp.eye(3, dtype=fe.dtype)
+        zpts = jnp.zeros((5, P, 3), jnp.float32)
+        zmask = jnp.zeros((5, P), bool)
+        zR = jnp.broadcast_to(eye, (5, 3, 3))
+        zp = jnp.zeros((5, 3), jnp.float32)
+        pl.apply_loop_correction(
+            fe.carry, eye, jnp.zeros(3, fe.dtype), zpts, zmask, zR, zp,
+            fe.pp,
+        )
+        pl.insert_fixed_keyframe(
+            fe.carry, jnp.zeros((P, 3), jnp.float32),
+            jnp.zeros((P,), bool), eye, jnp.zeros(3, fe.dtype), fe.pp,
+        )
 
     def _handle_loop_event(self, event: Optional[dict]):
         if event is None:
