@@ -129,6 +129,44 @@ class TestNative:
             sc_native.pts.sum(axis=0), sc_np.pts.sum(axis=0), rtol=1e-4
         )
 
+    def test_voxel_centroid_matches_device_average(self):
+        """Host centroid reduce == device voxel_average (the keyframe
+        program's pre-reduce path, manager._build_keyframe): same
+        cells, same centroids up to f32 summation order."""
+        L = native.lib()
+        if L is None or not hasattr(L, "voxel_centroid"):
+            pytest.skip("native voxel_centroid unavailable")
+        import jax.numpy as jnp
+
+        from voxelslam_tpu.ops import downsample
+
+        rng = np.random.default_rng(7)
+        n, cell = 4096, 0.25
+        pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+        host = native.voxel_centroid(pts, cell, n)
+        assert isinstance(host, np.ndarray)
+        ds = downsample.voxel_average(
+            jnp.asarray(pts), jnp.ones(n, bool), cell, n
+        )
+        dev = np.asarray(ds.pts)[np.asarray(ds.mask)]
+        assert len(host) == len(dev)
+
+        def keyed(a):
+            k = np.floor(a / cell).astype(np.int64)
+            order = np.lexsort((k[:, 2], k[:, 1], k[:, 0]))
+            return a[order]
+
+        np.testing.assert_allclose(keyed(host), keyed(dev), atol=1e-4)
+
+    def test_voxel_centroid_overflow(self):
+        L = native.lib()
+        if L is None or not hasattr(L, "voxel_centroid"):
+            pytest.skip("native voxel_centroid unavailable")
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-50, 50, (512, 3)).astype(np.float32)
+        # 512 well-spread points at a fine cell: > 16 distinct cells
+        assert native.voxel_centroid(pts, 0.01, 16) == "overflow"
+
 
 class TestScanSync:
     def test_sync_releases_when_covered(self):

@@ -74,8 +74,15 @@ def keyframe_program(
     Returns (new_db, ds_pts, ds_mask, candidates, icp_results); the
     accept/edge policies stay on the host (manager._process_keyframe).
     """
-    ds = downsample.voxel_average(raw_pts, raw_mask, kf_ds, m_out)
-    planes, desc = btc.extract(ds.pts, ds.mask, p)
+    if kf_ds > 0:
+        ds = downsample.voxel_average(raw_pts, raw_mask, kf_ds, m_out)
+        ds_pts, ds_mask = ds.pts, ds.mask
+    else:
+        # kf_ds <= 0: the merged cloud was already voxel-averaged on
+        # the host (native.voxel_centroid) — skip the device sort
+        # (~9 ms/keyframe of serialized device time at m_out=16384)
+        ds_pts, ds_mask = raw_pts, raw_mask
+    planes, desc = btc.extract(ds_pts, ds_mask, p)
     cands = database.search_state(
         db, capacity_kf, desc, planes, frame_id, sp,
         query_session=session_id,
@@ -95,7 +102,7 @@ def keyframe_program(
         )
 
     rs = jax.vmap(one)(jnp.arange(n_icp))
-    return new_db, ds.pts, ds.mask, cands, rs
+    return new_db, ds_pts, ds_mask, cands, rs
 
 
 @dataclass
@@ -251,6 +258,25 @@ class LoopManager:
         self.win_size = win_size
         self.kf_downsample = kf_downsample
         self.kf_max_points = kf_max_points
+        # host-side keyframe downsample: voxel-average the merged
+        # cloud with the native centroid reducer so the device program
+        # compiles WITHOUT its sort-based downsample stage (kf_ds=0).
+        # Decided once at construction — kf_ds is a static program
+        # argument, so per-keyframe switching would compile two
+        # programs.  Fallback: no native lib -> device path unchanged.
+        try:
+            from .. import native as _nat
+
+            L = _nat.lib()
+            self._host_kf_ds = bool(
+                kf_downsample > 0 and L is not None
+                and hasattr(L, "voxel_centroid")
+            )
+        except Exception:
+            self._host_kf_ds = False
+        self._kf_ds_device = 0.0 if self._host_kf_ds else float(
+            kf_downsample
+        )
         self.icp_eigval = icp_eigval
         self.icp_min_match_frac = icp_min_match_frac
         # candidates ICP-verified in-program per keyframe
@@ -587,6 +613,17 @@ class LoopManager:
         if n > P:  # even subsample (plain truncation drops whole scans)
             pts_local = pts_local[np.linspace(0, n - 1, P).astype(int)]
             n = P
+        if self._host_kf_ds and n:
+            # voxel-average here (native, ~0.3 ms) instead of inside
+            # the device program (~9 ms of sort at m_out=16384); the
+            # cap above bounds uniques <= P so overflow cannot occur
+            from .. import native as _nat
+
+            red = _nat.voxel_centroid(
+                pts_local[:n], self.kf_downsample, P
+            )
+            if isinstance(red, np.ndarray):
+                pts_local, n = red, len(red)
         pad = np.zeros((P, 3), np.float32)
         msk = np.zeros(P, bool)
         pad[:n] = pts_local
@@ -638,7 +675,7 @@ class LoopManager:
             p=self.p, sp=self.sp, capacity_kf=self.db.capacity_kf,
             n_icp=self.n_icp, icp_eigval=float(self.icp_eigval),
             icp_min_match_frac=float(self.icp_min_match_frac),
-            kf_ds=float(self.kf_downsample), m_out=self.kf_max_points,
+            kf_ds=self._kf_ds_device, m_out=self.kf_max_points,
         )
         # force execution to finish (block_until_ready does not
         # synchronize on the tunneled axon device); the compile itself
@@ -659,7 +696,7 @@ class LoopManager:
             p=self.p, sp=self.sp, capacity_kf=self.db.capacity_kf,
             n_icp=self.n_icp, icp_eigval=float(self.icp_eigval),
             icp_min_match_frac=float(self.icp_min_match_frac),
-            kf_ds=float(self.kf_downsample), m_out=self.kf_max_points,
+            kf_ds=self._kf_ds_device, m_out=self.kf_max_points,
         )
         self.db.state = new_db
         self.db.count += T

@@ -68,6 +68,12 @@ def lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
                 ctypes.c_void_p,
             ]
+        if hasattr(L, "voxel_centroid"):
+            L.voxel_centroid.restype = ctypes.c_int
+            L.voxel_centroid.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_double,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
         _lib = L
         return L
     except OSError:
@@ -97,6 +103,29 @@ def voxel_reduce(pts, offt, cell: float, max_out: int):
     if m < 0:
         return "overflow"
     return out_xyz[:m], out_t[:m]
+
+
+def voxel_centroid(pts, cell: float, max_out: int):
+    """Voxel-average (centroid) reduction — the host counterpart of
+    the device `ops.downsample.voxel_average`, used to pre-reduce
+    merged keyframe clouds so the per-keyframe loop program skips its
+    device sort.  Returns the (m, 3) centroid array, "overflow" when
+    distinct cells exceed max_out, or None when the native library is
+    unavailable (callers keep the device downsample)."""
+    import numpy as np
+
+    L = lib()
+    if L is None or not hasattr(L, "voxel_centroid"):
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    out_xyz = np.empty((max_out, 3), np.float32)
+    m = L.voxel_centroid(
+        pts.ctypes.data, len(pts), float(cell),
+        out_xyz.ctypes.data, max_out,
+    )
+    if m < 0:
+        return "overflow"
+    return out_xyz[:m]
 
 
 def voxel_reduce_auto(pts, offt, cells, start: int, max_out: int):

@@ -244,4 +244,89 @@ int voxel_reduce_auto(const float* xyz, const float* offt, long n,
     return -1;
 }
 
+// Centroid (voxel-average) reduction: the mean point per cell, the
+// host-side counterpart of the DEVICE voxel_average used by the
+// keyframe loop program (reference down_sampling_voxel semantics,
+// tools.hpp:201-238).  Pre-reducing the merged keyframe cloud here
+// lets the per-keyframe device program skip its sort-based
+// downsample (~9 ms/keyframe of serialized device time) — the BTC
+// extract consumes the same centroids either way.  Same persistent
+// SoA probe-table pattern as voxel_reduce above; accumulators are
+// f64 so the merge order cannot move centroids at f32 lsb scale.
+// Returns the reduced count, or -1 when distinct cells exceed
+// max_out (callers fall back to the device path).
+int voxel_centroid(const float* xyz, long n, double cell,
+                   float* out_xyz, long max_out)
+{
+    if (n <= 0 || cell <= 0.0 || max_out <= 0) return 0;
+    long cap = 1;
+    while (cap < 2 * (max_out + 1)) cap <<= 1;
+    static thread_local int64_t* keys = nullptr;
+    static thread_local double* acc = nullptr;  // (cap, 4): sx sy sz cnt
+    static thread_local int32_t* used = nullptr;
+    static thread_local long cap_alloc = 0, used_cap = 0;
+    const int64_t EMPTY = INT64_MIN;
+    if (cap > cap_alloc) {
+        delete[] keys; delete[] acc;
+        keys = new int64_t[cap];
+        acc = new double[4 * cap];
+        for (long s = 0; s < cap; s++) keys[s] = EMPTY;
+        cap_alloc = cap;
+    }
+    if (max_out + 1 > used_cap) {
+        delete[] used;
+        used = new int32_t[max_out + 1];
+        used_cap = max_out + 1;
+    }
+    const long mask = cap_alloc - 1;
+    const float inv = (float)(1.0 / cell);
+    long uniques = 0;
+    bool overflow = false;
+    int64_t last_key = EMPTY;
+    long last_slot = 0;
+    for (long i = 0; i < n; i++) {
+        float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+        float fx = floorf(x * inv), fy = floorf(y * inv),
+              fz = floorf(z * inv);
+        int64_t key = ((int64_t)((long)fx & 0x1FFFFF) << 42)
+                    | ((int64_t)((long)fy & 0x1FFFFF) << 21)
+                    | (int64_t)((long)fz & 0x1FFFFF);
+        long s;
+        if (key == last_key) {
+            s = last_slot;
+        } else {
+            uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
+            s = (long)((h >> 32) & (uint64_t)mask);
+            while (keys[s] != EMPTY && keys[s] != key)
+                s = (s + 1) & mask;
+            if (keys[s] == EMPTY) {
+                if (uniques >= max_out) { overflow = true; break; }
+                keys[s] = key;
+                acc[4 * s] = acc[4 * s + 1] = acc[4 * s + 2] =
+                    acc[4 * s + 3] = 0.0;
+                used[uniques++] = (int32_t)s;
+            }
+            last_key = key;
+            last_slot = s;
+        }
+        acc[4 * s] += x;
+        acc[4 * s + 1] += y;
+        acc[4 * s + 2] += z;
+        acc[4 * s + 3] += 1.0;
+    }
+    long m = 0;
+    if (!overflow) {
+        for (long u = 0; u < uniques; u++) {
+            long s = used[u];
+            double c = acc[4 * s + 3];
+            out_xyz[3 * m + 0] = (float)(acc[4 * s] / c);
+            out_xyz[3 * m + 1] = (float)(acc[4 * s + 1] / c);
+            out_xyz[3 * m + 2] = (float)(acc[4 * s + 2] / c);
+            m++;
+        }
+    }
+    for (long u = 0; u < uniques; u++) keys[used[u]] = EMPTY;
+    return overflow ? -1 : (int)m;
+}
+
 }  // extern "C"
